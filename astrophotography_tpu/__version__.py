@@ -1,0 +1,3 @@
+"""Version of the astrophotography_tpu package (semver)."""
+
+__version__ = "0.1.0"

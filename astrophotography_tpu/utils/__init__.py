@@ -1,0 +1,13 @@
+"""Host-side utilities: logging, configuration, provenance, timing."""
+
+from .logger import AstroLogger, get_logger, logger
+from .config import AttrDict, YamlConfig, config
+
+__all__ = [
+    "AstroLogger",
+    "get_logger",
+    "logger",
+    "AttrDict",
+    "YamlConfig",
+    "config",
+]
