@@ -1,0 +1,34 @@
+"""Device compute ops: pure, jitted, batched array functions.
+
+Every function here is shape-static and jit/vmap/pjit-compatible: no
+data-dependent Python control flow, fixed iteration counts with
+convergence masks, pad+mask for variable-count quantities
+(SURVEY.md §7 architecture ring 2).
+"""
+
+from .stats import (
+    masked_median,
+    masked_mean_std,
+    mad_std,
+    sigma_clip_mask,
+    sigma_clipped_stats,
+)
+from .calibrate import calibrate_frame, calibrate_batch
+from .badpix import fix_bad_pixels, sigmaclip_badpix_mask, auto_badcols
+from .stack import sigma_clip_combine
+from .imarith import imarith
+
+__all__ = [
+    "masked_median",
+    "masked_mean_std",
+    "mad_std",
+    "sigma_clip_mask",
+    "sigma_clipped_stats",
+    "calibrate_frame",
+    "calibrate_batch",
+    "fix_bad_pixels",
+    "sigmaclip_badpix_mask",
+    "auto_badcols",
+    "sigma_clip_combine",
+    "imarith",
+]
