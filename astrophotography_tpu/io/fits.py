@@ -184,6 +184,8 @@ class Header:
 
 
 def _format_card(key: str, value: Any, comment: str) -> bytes:
+    if len(key) > 8:
+        raise ValueError(f"FITS keyword {key!r} exceeds 8 characters")
     if key in ("HISTORY", "COMMENT", ""):
         text = str(value)[: CARD - 8]
         return (f"{key:<8}{text}").ljust(CARD).encode("latin-1")

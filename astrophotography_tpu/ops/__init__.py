@@ -17,6 +17,16 @@ from .calibrate import calibrate_frame, calibrate_batch
 from .badpix import fix_bad_pixels, sigmaclip_badpix_mask, auto_badcols
 from .stack import sigma_clip_combine
 from .imarith import imarith
+from .demosaic import (
+    demosaic_bilinear,
+    raw_to_rgb,
+    raw_to_grey_linear,
+    raw_to_grey_direct,
+    split_channels,
+    wb_from_region,
+    percentile_renorm,
+    safe_subtract_black,
+)
 
 __all__ = [
     "masked_median",
@@ -31,4 +41,12 @@ __all__ = [
     "auto_badcols",
     "sigma_clip_combine",
     "imarith",
+    "demosaic_bilinear",
+    "raw_to_rgb",
+    "raw_to_grey_linear",
+    "raw_to_grey_direct",
+    "split_channels",
+    "wb_from_region",
+    "percentile_renorm",
+    "safe_subtract_black",
 ]

@@ -1,0 +1,226 @@
+"""Fused RAW mosaic -> RGB/grey conversion kernels.
+
+TPU-native replacement for the LibRaw ``postprocess`` call the
+reference makes for every conversion (reference core/RawConv.py:453-455:
+linear gamma, no auto-bright/scale, 16-bit output, user white balance).
+The whole chain — per-site black-level subtraction with the uint16
+wraparound guard (reference ``_safe_subtract`` core/RawConv.py:250-289),
+white-balance multiplication, 16-bit range scaling, bilinear demosaic,
+CCIR-601 luma, and percentile renormalization (core/RawConv.py:462-471)
+— is a single jitted computation that XLA fuses into one pass over the
+mosaic.
+
+Demosaic algorithm: mask-normalized bilinear interpolation (the
+reference inherits LibRaw's AHD; bilinear is the documented divergence,
+SURVEY.md §7 "demosaic parity" — outputs validated statistically).
+The formulation is pattern-agnostic: it only needs the per-pixel color
+map (the analogue of rawpy's ``raw_colors_visible``).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+#: CCIR 601 luma coefficients (reference core/RawConv.py:550).
+CCIR601 = (0.299, 0.587, 0.114)
+
+#: color plane indices (reference RawConv class attrs R/G1/B/G2).
+R, G1, B, G2 = 0, 1, 2, 3
+
+MAX_ADU = 65535.0
+
+
+def _conv3x3_sum(x: jnp.ndarray, kernel) -> jnp.ndarray:
+    """3x3 weighted sum via shifted adds (VPU-friendly, no gathers).
+
+    ``kernel`` is a static Python 3x3 nested sequence so zero taps are
+    elided at trace time.
+    """
+    h, w = x.shape
+    padded = jnp.pad(x, 1)
+    out = jnp.zeros_like(x)
+    for dy in range(3):
+        for dx in range(3):
+            k = float(kernel[dy][dx])
+            if k != 0.0:
+                out = out + k * padded[dy:dy + h, dx:dx + w]
+    return out
+
+
+_BILINEAR_KERNEL = (
+    (0.25, 0.5, 0.25),
+    (0.5, 1.0, 0.5),
+    (0.25, 0.5, 0.25),
+)
+
+
+@jax.jit
+def demosaic_bilinear(values: jnp.ndarray, color_map: jnp.ndarray) -> jnp.ndarray:
+    """Mask-normalized bilinear demosaic: (H, W) sites -> (H, W, 3) RGB.
+
+    For each output color c, interpolate from the sites of that color
+    with a 3x3 tent kernel, normalizing by the convolved site mask so
+    edges and every CFA layout are handled uniformly.
+    """
+    values = values.astype(jnp.float32)
+    planes = []
+    for colors in ((R,), (G1, G2), (B,)):
+        site = jnp.zeros_like(values, dtype=jnp.bool_)
+        for c in colors:
+            site = site | (color_map == c)
+        sitef = site.astype(jnp.float32)
+        num = _conv3x3_sum(values * sitef, _BILINEAR_KERNEL)
+        den = _conv3x3_sum(sitef, _BILINEAR_KERNEL)
+        interp = num / jnp.maximum(den, 1e-12)
+        # measured sites keep their own sample exactly (classical bilinear)
+        planes.append(jnp.where(site, values, interp))
+    return jnp.stack(planes, axis=-1)
+
+
+def safe_subtract_black(
+    mosaic: jnp.ndarray,
+    color_map: jnp.ndarray,
+    black_levels: jnp.ndarray,
+) -> jnp.ndarray:
+    """Per-site black-level subtraction clamped at zero.
+
+    The reference resets pixels below the black level to the black
+    level before subtracting so uint16 cannot wrap (reference
+    core/RawConv.py:269-289); in float that is exactly
+    ``max(x - black, 0)``.
+    """
+    bl = black_levels.astype(jnp.float32)[color_map]
+    return jnp.maximum(mosaic.astype(jnp.float32) - bl, 0.0)
+
+
+@functools.partial(jax.jit, static_argnames=("subtract_black",))
+def raw_to_rgb(
+    mosaic: jnp.ndarray,
+    color_map: jnp.ndarray,
+    black_levels: jnp.ndarray,
+    wb: jnp.ndarray,
+    white_level: float = 65535.0,
+    subtract_black: bool = True,
+) -> jnp.ndarray:
+    """Linear 16-bit-range RGB from a uint16 Bayer mosaic.
+
+    Equivalent of LibRaw postprocess(gamma=(1,1), no_auto_bright,
+    output_bps=16, user_wb): black subtraction, white-balance
+    multipliers applied at the CFA sites, scaling so the sensor range
+    [black, white_level] maps to [0, 65535], then bilinear demosaic.
+    Output float32 (caller clips/casts; reference clips at
+    core/RawConv.py:484-486).
+    """
+    f = mosaic.astype(jnp.float32)
+    if subtract_black:
+        f = safe_subtract_black(f, color_map, black_levels)
+        ref_black = jnp.max(black_levels.astype(jnp.float32))
+    else:
+        ref_black = jnp.float32(0.0)
+    f = f * wb.astype(jnp.float32)[color_map]
+    scale = MAX_ADU / jnp.maximum(jnp.float32(white_level) - ref_black, 1.0)
+    f = f * scale
+    return demosaic_bilinear(f, color_map)
+
+
+@functools.partial(jax.jit, static_argnames=("subtract_black",))
+def raw_to_grey_linear(
+    mosaic: jnp.ndarray,
+    color_map: jnp.ndarray,
+    black_levels: jnp.ndarray,
+    wb: jnp.ndarray,
+    white_level: float = 65535.0,
+    subtract_black: bool = True,
+) -> jnp.ndarray:
+    """CCIR-601 luma of the linear RGB (reference core/RawConv.py:549-556).
+
+    The reference rounds RGB to uint16 before the luma sum; we keep
+    float32 throughout (sub-ADU difference, within test tolerance).
+    """
+    rgb = raw_to_rgb(mosaic, color_map, black_levels, wb, white_level,
+                     subtract_black)
+    coeff = jnp.array(CCIR601, dtype=jnp.float32)
+    return jnp.clip(rgb, 0.0, MAX_ADU) @ coeff
+
+
+@functools.partial(jax.jit, static_argnames=("subtract_black",))
+def raw_to_grey_direct(
+    mosaic: jnp.ndarray,
+    color_map: jnp.ndarray,
+    black_levels: jnp.ndarray,
+    wb: jnp.ndarray,
+    subtract_black: bool = True,
+) -> jnp.ndarray:
+    """Documented 'direct' grey: each site scaled by its band's WB factor,
+    no interpolation (reference core/RawConv.py:500-501,533-547 — the
+    reference implementation is broken, SURVEY.md §2.8; this implements
+    the documented semantics)."""
+    f = mosaic.astype(jnp.float32)
+    if subtract_black:
+        f = safe_subtract_black(f, color_map, black_levels)
+    return f * wb.astype(jnp.float32)[color_map]
+
+
+@jax.jit
+def split_channels(
+    mosaic: jnp.ndarray,
+    color_map: jnp.ndarray,
+    black_levels: jnp.ndarray,
+    subtract_black: bool = True,
+) -> jnp.ndarray:
+    """(4, H, W) full-size per-band images, zero off-band.
+
+    Reference split() semantics (core/RawConv.py:589-618): each output
+    keeps only its band's pixels at their original positions, zero
+    elsewhere, optionally black-subtracted with the wraparound guard.
+    """
+    f = mosaic.astype(jnp.float32)
+    sub = safe_subtract_black(f, color_map, black_levels)
+    f = jnp.where(subtract_black, sub, f)
+    return jnp.stack([jnp.where(color_map == c, f, 0.0) for c in (R, G1, B, G2)])
+
+
+@jax.jit
+def wb_from_region(
+    mosaic_sub: jnp.ndarray,
+    color_map: jnp.ndarray,
+    region: jnp.ndarray,
+) -> jnp.ndarray:
+    """White balance multipliers from per-band means in a region.
+
+    Reference _get_whitebalance_from_region (core/RawConv.py:291-366):
+    per-band mean of (black-subtracted) site values inside the region
+    [rowmin, rowmax, colmin, colmax] (inclusive, 0-based), then
+    multipliers max(avg)/avg — brightest band gets 1.0.
+    ``region`` is a (4,) int array; pass [0, H-1, 0, W-1] for 'auto'.
+    """
+    h, w = mosaic_sub.shape
+    rows = jnp.arange(h)[:, None]
+    cols = jnp.arange(w)[None, :]
+    in_region = ((rows >= region[0]) & (rows <= region[1])
+                 & (cols >= region[2]) & (cols <= region[3]))
+    avgs = []
+    for c in (R, G1, B, G2):
+        m = in_region & (color_map == c)
+        n = jnp.maximum(jnp.sum(m), 1)
+        avgs.append(jnp.sum(jnp.where(m, mosaic_sub, 0.0)) / n)
+    avg = jnp.stack(avgs)
+    return jnp.max(avg) / jnp.maximum(avg, 1e-12)
+
+
+@jax.jit
+def percentile_renorm(
+    img: jnp.ndarray,
+    lo_pct: float = 0.01,
+    hi_pct: float = 99.99,
+) -> jnp.ndarray:
+    """Linear stretch from [p_lo, p_hi] to [0, 65535]
+    (reference core/RawConv.py:462-471)."""
+    flat = img.reshape(-1)
+    lo = jnp.percentile(flat, lo_pct)
+    hi = jnp.percentile(flat, hi_pct)
+    return (img - lo) * (MAX_ADU / jnp.maximum(hi - lo, 1e-12))

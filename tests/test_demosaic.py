@@ -1,0 +1,141 @@
+"""Tests for the fused RAW conversion kernels."""
+
+import numpy as np
+import pytest
+
+from astrophotography_tpu import synth
+from astrophotography_tpu.ops import (
+    demosaic_bilinear,
+    percentile_renorm,
+    raw_to_grey_direct,
+    raw_to_grey_linear,
+    raw_to_rgb,
+    safe_subtract_black,
+    split_channels,
+    wb_from_region,
+)
+
+
+def _flat_mosaic(h=16, w=16, r=1000, g=2000, b=3000):
+    """Mosaic of a flat RGB scene: every site has its channel's value."""
+    cmap = synth.bayer_color_map((h, w))
+    vals = np.array([r, g, b, g], dtype=np.uint16)
+    return vals[cmap], cmap
+
+
+def test_demosaic_flat_field_is_exact():
+    """On a flat scene bilinear interpolation is exact everywhere."""
+    mosaic, cmap = _flat_mosaic()
+    rgb = np.asarray(demosaic_bilinear(mosaic.astype(np.float32), cmap))
+    np.testing.assert_allclose(rgb[..., 0], 1000, rtol=1e-5)
+    np.testing.assert_allclose(rgb[..., 1], 2000, rtol=1e-5)
+    np.testing.assert_allclose(rgb[..., 2], 3000, rtol=1e-5)
+
+
+def test_demosaic_preserves_sites():
+    """At an R site the red output equals the site value exactly."""
+    rng = np.random.default_rng(0)
+    cmap = synth.bayer_color_map((12, 12))
+    mosaic = rng.integers(100, 50000, (12, 12)).astype(np.float32)
+    rgb = np.asarray(demosaic_bilinear(mosaic, cmap))
+    for color, chan in ((0, 0), (1, 1), (3, 1), (2, 2)):
+        sites = cmap == color
+        np.testing.assert_allclose(rgb[..., chan][sites], mosaic[sites],
+                                   rtol=1e-5)
+
+
+def test_demosaic_linear_gradient():
+    """Bilinear demosaic reproduces a linear ramp exactly (interior)."""
+    h, w = 16, 16
+    yy, xx = np.mgrid[0:h, 0:w]
+    ramp = (100 + 10 * xx + 5 * yy).astype(np.float64)
+    cmap = synth.bayer_color_map((h, w))
+    scene = np.stack([ramp, ramp, ramp], axis=-1)
+    mosaic = synth.mosaic_from_rgb(scene, black_levels=(0, 0, 0, 0))
+    rgb = np.asarray(demosaic_bilinear(mosaic.astype(np.float32), cmap))
+    for c in range(3):
+        np.testing.assert_allclose(rgb[2:-2, 2:-2, c], ramp[2:-2, 2:-2],
+                                   atol=0.51)  # rounding of mosaic
+
+
+def test_safe_subtract_black_clamps():
+    mosaic = np.array([[100, 600], [700, 50]], dtype=np.uint16)
+    cmap = np.array([[0, 1], [3, 2]], dtype=np.uint8)
+    blacks = np.array([512.0, 512.0, 512.0, 512.0])
+    out = np.asarray(safe_subtract_black(mosaic, cmap, blacks))
+    np.testing.assert_allclose(out, [[0, 88], [188, 0]])
+
+
+def test_raw_to_rgb_recovers_scene():
+    """Full kernel recovers a synthetic scene through the sensor model."""
+    scene = synth.make_rgb_scene((32, 32), seed=5, peak=30000)
+    blacks = (512, 500, 520, 508)
+    wb = (2.0, 1.0, 1.5, 1.0)
+    mosaic = synth.mosaic_from_rgb(scene, black_levels=blacks, wb_gains=wb)
+    cmap = synth.bayer_color_map((32, 32))
+    out = np.asarray(raw_to_rgb(
+        mosaic, cmap, np.array(blacks, np.float32), np.array(wb, np.float32),
+        white_level=65535.0))
+    # kernel scales by 65535/(white - max(black)) = 65535/65015
+    scale = 65535.0 / (65535.0 - max(blacks))
+    interior = (slice(2, -2), slice(2, -2))
+    for c in range(3):
+        ratio = out[interior + (c,)] / (scene[interior + (c,)] * scale)
+        # statistical parity: bilinear smoothing leaves a small per-pixel
+        # error where the scene curves, but no bias
+        assert abs(ratio.mean() - 1.0) < 0.01
+        assert ratio.std() < 0.03
+        np.testing.assert_allclose(out[interior + (c,)],
+                                   scene[interior + (c,)] * scale,
+                                   rtol=0.15, atol=100)
+
+
+def test_raw_to_grey_linear_is_ccir601():
+    mosaic, cmap = _flat_mosaic(r=10000, g=20000, b=30000)
+    blacks = np.zeros(4, np.float32)
+    wb = np.ones(4, np.float32)
+    grey = np.asarray(raw_to_grey_linear(mosaic, cmap, blacks, wb,
+                                         white_level=65535.0))
+    expect = 0.299 * 10000 + 0.587 * 20000 + 0.114 * 30000
+    np.testing.assert_allclose(grey, expect, rtol=1e-4)
+
+
+def test_raw_to_grey_direct_no_interpolation():
+    mosaic, cmap = _flat_mosaic(r=1000, g=2000, b=3000)
+    blacks = np.zeros(4, np.float32)
+    wb = np.array([2.0, 1.0, 0.5, 1.0], np.float32)
+    grey = np.asarray(raw_to_grey_direct(mosaic, cmap, blacks, wb))
+    # each site: value * its band's wb factor
+    np.testing.assert_allclose(grey[cmap == 0], 2000.0)
+    np.testing.assert_allclose(grey[cmap == 1], 2000.0)
+    np.testing.assert_allclose(grey[cmap == 2], 1500.0)
+    np.testing.assert_allclose(grey[cmap == 3], 2000.0)
+
+
+def test_split_channels_zero_off_band():
+    mosaic, cmap = _flat_mosaic(r=1000, g=2000, b=3000)
+    chans = np.asarray(split_channels(mosaic, cmap,
+                                      np.full(4, 100.0, np.float32), True))
+    assert chans.shape == (4, 16, 16)
+    # R channel: 900 at R sites, 0 elsewhere
+    np.testing.assert_allclose(chans[0][cmap == 0], 900.0)
+    np.testing.assert_allclose(chans[0][cmap != 0], 0.0)
+    np.testing.assert_allclose(chans[2][cmap == 2], 2900.0)
+    np.testing.assert_allclose(chans[1][cmap == 1], 1900.0)
+    np.testing.assert_allclose(chans[3][cmap == 3], 1900.0)
+
+
+def test_wb_from_region_flat():
+    """Flat mosaic: multipliers = max(band mean)/band mean."""
+    mosaic, cmap = _flat_mosaic(r=1000, g=2000, b=500)
+    wb = np.asarray(wb_from_region(mosaic.astype(np.float32), cmap,
+                                   np.array([0, 15, 0, 15], np.int32)))
+    np.testing.assert_allclose(wb, [2.0, 1.0, 4.0, 1.0], rtol=1e-5)
+
+
+def test_percentile_renorm_stretches():
+    rng = np.random.default_rng(1)
+    img = rng.uniform(1000, 2000, (64, 64)).astype(np.float32)
+    out = np.asarray(percentile_renorm(img))
+    assert out.min() < 100  # 0.01 pctl mapped near 0
+    assert out.max() > 65000
