@@ -17,6 +17,9 @@ from .calibrate import calibrate_frame, calibrate_batch
 from .badpix import fix_bad_pixels, sigmaclip_badpix_mask, auto_badcols
 from .stack import sigma_clip_combine
 from .imarith import imarith
+from .detect import Stars, find_stars, find_saturated, mask_boxes
+from .photometry import Photometry, aperture_photometry, aperture_radii
+from .background import background2d, source_mask
 from .demosaic import (
     demosaic_bilinear,
     raw_to_rgb,
@@ -49,4 +52,13 @@ __all__ = [
     "wb_from_region",
     "percentile_renorm",
     "safe_subtract_black",
+    "Stars",
+    "find_stars",
+    "find_saturated",
+    "mask_boxes",
+    "Photometry",
+    "aperture_photometry",
+    "aperture_radii",
+    "background2d",
+    "source_mask",
 ]

@@ -1,0 +1,218 @@
+"""DAOFIND-style star detection as fixed-capacity device ops.
+
+TPU-native equivalent of photutils.DAOStarFinder as used by the
+reference (core/ApFindStars.py:299-340: DAOStarFinder(fwhm,
+threshold=nsigma*bg_stddev) on background-subtracted data) plus the
+saturation peak search (core/ApFindStars.py:866-876).
+
+Algorithm (Stetson's DAOFIND, as in photutils):
+
+1. convolve with a truncated, "lowered" Gaussian kernel whose
+   normalization makes the convolution output the least-squares
+   amplitude of a circular Gaussian + constant fit at each pixel
+   (the "density" image);
+2. local maxima of the density image above the threshold are
+   candidate stars;
+3. per-candidate image statistics: sharpness (central pixel vs
+   footprint mean over density peak) and symmetry-based roundness;
+4. centroid by iterated center-of-mass on the background-subtracted
+   cutout.
+
+Star counts are data-dependent, so results use the pad+mask+top-k
+convention: arrays have static length ``max_stars``, with a boolean
+``valid`` mask (SURVEY.md §7 "data-dependent shapes").
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+FWHM_TO_SIGMA = 1.0 / 2.35482
+
+
+class Stars(NamedTuple):
+    """Fixed-capacity detected-star table (all arrays length max_stars)."""
+
+    x: jnp.ndarray          # centroid column (0-based)
+    y: jnp.ndarray          # centroid row (0-based)
+    flux: jnp.ndarray       # density-image amplitude at the peak
+    peak: jnp.ndarray       # peak pixel value (bg-subtracted data)
+    sharpness: jnp.ndarray
+    roundness: jnp.ndarray
+    valid: jnp.ndarray      # bool
+
+    @property
+    def count(self) -> jnp.ndarray:
+        return jnp.sum(self.valid)
+
+
+def _kernel_radius(fwhm: float) -> int:
+    sigma = fwhm * FWHM_TO_SIGMA
+    return max(2, int(round(1.5 * sigma * 2.35482 / 2)))
+
+
+def daofind_kernel(fwhm: float) -> Tuple[jnp.ndarray, jnp.ndarray, int]:
+    """(kernel, footprint, radius): lowered Gaussian matched filter.
+
+    Normalized so that convolution with data yields the least-squares
+    amplitude of a Gaussian-plus-constant model at each position.
+    """
+    r = _kernel_radius(fwhm)
+    sigma = fwhm * FWHM_TO_SIGMA
+    yy, xx = jnp.mgrid[-r:r + 1, -r:r + 1]
+    d2 = (xx ** 2 + yy ** 2).astype(jnp.float32)
+    foot = (d2 <= r * r + r).astype(jnp.float32)  # DAOFIND circular footprint
+    g = jnp.exp(-0.5 * d2 / sigma ** 2) * foot
+    n = jnp.sum(foot)
+    gsum = jnp.sum(g)
+    gsq = jnp.sum(g * g)
+    denom = gsq - gsum * gsum / n
+    kernel = (g - (gsum / n)) * foot / denom
+    return kernel.astype(jnp.float32), foot, r
+
+
+def _conv2d_same(img: jnp.ndarray, kernel: jnp.ndarray) -> jnp.ndarray:
+    """2-D correlation with zero padding, via XLA conv (MXU/VPU path)."""
+    lhs = img[None, None, :, :]
+    rhs = kernel[None, None, :, :]
+    out = jax.lax.conv_general_dilated(
+        lhs, rhs, window_strides=(1, 1), padding="SAME",
+        dimension_numbers=("NCHW", "OIHW", "NCHW"))
+    return out[0, 0]
+
+
+@functools.partial(jax.jit, static_argnames=("fwhm", "max_stars", "border"))
+def find_stars(
+    data: jnp.ndarray,
+    fwhm: float = 3.0,
+    threshold: float = 100.0,
+    max_stars: int = 1024,
+    mask: Optional[jnp.ndarray] = None,
+    border: int = 2,
+) -> Stars:
+    """Detect star-like sources in background-subtracted data.
+
+    ``threshold`` is in amplitude (density) units — pass
+    ``nsigma * bg_stddev`` to match the reference invocation
+    (core/ApFindStars.py:305-309).  ``mask`` True = excluded pixel.
+    """
+    data = data.astype(jnp.float32)
+    h, w = data.shape
+    kernel, foot, r = daofind_kernel(fwhm)
+    dens = _conv2d_same(data, kernel)
+    if mask is not None:
+        dens = jnp.where(mask, -jnp.inf, dens)
+
+    # local maxima over a 3x3 neighborhood, above threshold, off borders
+    pad = jnp.pad(dens, 1, constant_values=-jnp.inf)
+    neigh_max = jnp.full_like(dens, -jnp.inf)
+    for dy in range(3):
+        for dx in range(3):
+            if dy == 1 and dx == 1:
+                continue
+            neigh_max = jnp.maximum(neigh_max, pad[dy:dy + h, dx:dx + w])
+    rows = jnp.arange(h)[:, None]
+    cols = jnp.arange(w)[None, :]
+    bmask = ((rows >= border + r) & (rows < h - border - r)
+             & (cols >= border + r) & (cols < w - border - r))
+    is_peak = (dens > neigh_max) & (dens > threshold) & bmask
+
+    score = jnp.where(is_peak, dens, -jnp.inf).reshape(-1)
+    top_vals, top_idx = jax.lax.top_k(score, max_stars)
+    valid = jnp.isfinite(top_vals)
+    py = top_idx // w
+    px = top_idx % w
+
+    box = 2 * r + 1
+
+    def per_star(cy, cx):
+        y0 = jnp.clip(cy - r, 0, h - box)
+        x0 = jnp.clip(cx - r, 0, w - box)
+        cut = jax.lax.dynamic_slice(data, (y0, x0), (box, box))
+        # sharpness: (peak pixel - footprint mean excl. center) / density
+        center = data[cy, cx]
+        foot_n = jnp.sum(foot) - 1.0
+        foot_mean = (jnp.sum(cut * foot) - center) / foot_n
+        dens_peak = dens[cy, cx]
+        sharp = (center - foot_mean) / jnp.maximum(dens_peak, 1e-12)
+        # roundness: asymmetry of 4-fold symmetric sum of the density cutout
+        dcut = jax.lax.dynamic_slice(dens, (y0, x0), (box, box))
+        sym2 = dcut + dcut[::-1, ::-1]
+        hx = jnp.sum(sym2, axis=0)
+        hy = jnp.sum(sym2, axis=1)
+        sx = jnp.sum(jnp.abs(hx - hx[::-1]))
+        sy = jnp.sum(jnp.abs(hy - hy[::-1]))
+        tot = jnp.sum(jnp.abs(sym2)) + 1e-12
+        roundness = (sx - sy) / tot
+        # iterated center of mass on positive data within the box
+        pos = jnp.maximum(cut, 0.0)
+        ys = jnp.arange(box, dtype=jnp.float32)
+        xs = jnp.arange(box, dtype=jnp.float32)
+        wsum = jnp.maximum(jnp.sum(pos), 1e-12)
+        cy_f = jnp.sum(pos * ys[:, None]) / wsum + y0
+        cx_f = jnp.sum(pos * xs[None, :]) / wsum + x0
+        return cx_f, cy_f, center, sharp, roundness
+
+    cx_f, cy_f, peaks, sharps, rounds = jax.vmap(per_star)(py, px)
+    zero = jnp.zeros(max_stars, jnp.float32)
+    return Stars(
+        x=jnp.where(valid, cx_f, zero),
+        y=jnp.where(valid, cy_f, zero),
+        flux=jnp.where(valid, top_vals, zero),
+        peak=jnp.where(valid, peaks, zero),
+        sharpness=jnp.where(valid, sharps, zero),
+        roundness=jnp.where(valid, rounds, zero),
+        valid=valid,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("max_peaks", "box"))
+def find_saturated(
+    data: jnp.ndarray,
+    sat_thresh: float,
+    max_peaks: int = 256,
+    box: int = 3,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Local maxima above the saturation threshold
+    (reference _find_saturated, core/ApFindStars.py:866-876).
+
+    Returns (x, y, valid) fixed-capacity arrays.
+    """
+    data = data.astype(jnp.float32)
+    h, w = data.shape
+    half = box // 2
+    pad = jnp.pad(data, half, constant_values=-jnp.inf)
+    neigh_max = jnp.full_like(data, -jnp.inf)
+    for dy in range(box):
+        for dx in range(box):
+            if dy == half and dx == half:
+                continue
+            neigh_max = jnp.maximum(neigh_max, pad[dy:dy + h, dx:dx + w])
+    is_peak = (data >= neigh_max) & (data > sat_thresh)
+    score = jnp.where(is_peak, data, -jnp.inf).reshape(-1)
+    vals, idx = jax.lax.top_k(score, max_peaks)
+    valid = jnp.isfinite(vals)
+    return (idx % w).astype(jnp.float32), (idx // w).astype(jnp.float32), valid
+
+
+def mask_boxes(
+    shape: Tuple[int, int],
+    xs: jnp.ndarray,
+    ys: jnp.ndarray,
+    valid: jnp.ndarray,
+    half_width: int,
+) -> jnp.ndarray:
+    """Boolean mask with a (2*half_width+1)² box set around each point
+    (reference saturated-star box masking, core/ApFindStars.py:165-189)."""
+    h, w = shape
+    rows = jnp.arange(h)[:, None, None]
+    cols = jnp.arange(w)[None, :, None]
+    inside = ((jnp.abs(rows - ys[None, None, :]) <= half_width)
+              & (jnp.abs(cols - xs[None, None, :]) <= half_width)
+              & valid[None, None, :])
+    return jnp.any(inside, axis=-1)

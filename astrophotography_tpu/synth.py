@@ -109,17 +109,38 @@ def make_starfield(
     seed: int = 0,
     margin: int = 12,
     sky_gradient: float = 0.0,
+    min_sep: float = 0.0,
 ) -> Tuple[np.ndarray, Dict[str, np.ndarray]]:
     """Starfield with known truth; returns (image float32, truth dict).
 
     Truth dict has 'x', 'y', 'flux', 'fwhm' arrays.  Poisson + Gaussian
     read noise applied; background may have a linear gradient to
-    exercise background modelling.
+    exercise background modelling.  ``min_sep`` > 0 rejection-samples
+    positions so no two stars are closer than that (isolated-star
+    fields for detection/PSF tests).
     """
     rng = np.random.default_rng(seed)
     h, w = shape
-    xs = rng.uniform(margin, w - 1 - margin, n_stars)
-    ys = rng.uniform(margin, h - 1 - margin, n_stars)
+    if min_sep > 0:
+        xs_l: list = []
+        ys_l: list = []
+        attempts = 0
+        while len(xs_l) < n_stars and attempts < 100 * n_stars:
+            attempts += 1
+            x = rng.uniform(margin, w - 1 - margin)
+            y = rng.uniform(margin, h - 1 - margin)
+            if all((x - px) ** 2 + (y - py) ** 2 >= min_sep ** 2
+                   for px, py in zip(xs_l, ys_l)):
+                xs_l.append(x)
+                ys_l.append(y)
+        if len(xs_l) < n_stars:
+            raise ValueError(
+                f"could not place {n_stars} stars with min_sep={min_sep}")
+        xs = np.array(xs_l)
+        ys = np.array(ys_l)
+    else:
+        xs = rng.uniform(margin, w - 1 - margin, n_stars)
+        ys = rng.uniform(margin, h - 1 - margin, n_stars)
     fluxes = np.exp(rng.uniform(np.log(flux_range[0]), np.log(flux_range[1]), n_stars))
     img = np.zeros(shape, dtype=np.float64)
     for x, y, f in zip(xs, ys, fluxes):

@@ -1,0 +1,156 @@
+"""Tests for star detection, photometry, and background modelling
+against synthetic starfields with known truth."""
+
+import numpy as np
+import pytest
+
+from astrophotography_tpu import synth
+from astrophotography_tpu.ops import (
+    aperture_photometry,
+    aperture_radii,
+    background2d,
+    find_saturated,
+    find_stars,
+    mask_boxes,
+    sigma_clipped_stats,
+    source_mask,
+)
+
+
+def _match(truth_x, truth_y, det_x, det_y, tol=1.5):
+    """Greedy nearest matching; returns indices of matched truth stars."""
+    matched = []
+    used = set()
+    for i, (tx, ty) in enumerate(zip(truth_x, truth_y)):
+        d = np.hypot(det_x - tx, det_y - ty)
+        j = int(np.argmin(d)) if len(d) else -1
+        if j >= 0 and d[j] < tol and j not in used:
+            matched.append((i, j))
+            used.add(j)
+    return matched
+
+
+@pytest.fixture(scope="module")
+def field():
+    img, truth = synth.make_starfield(
+        (256, 256), n_stars=25, fwhm=3.0, background=200.0,
+        read_noise=5.0, flux_range=(5000.0, 80000.0), seed=42,
+        min_sep=12.0)
+    return img, truth
+
+
+def test_find_stars_detects_all_injected(field):
+    img, truth = field
+    mean, med, std = (float(v) for v in sigma_clipped_stats(img, sigma=3.0))
+    stars = find_stars(img - med, fwhm=3.0, threshold=7.0 * std,
+                       max_stars=256)
+    n = int(stars.count)
+    det_x = np.asarray(stars.x)[np.asarray(stars.valid)]
+    det_y = np.asarray(stars.y)[np.asarray(stars.valid)]
+    matched = _match(truth["x"], truth["y"], det_x, det_y)
+    assert len(matched) == len(truth["x"]), f"matched {len(matched)}/25, n={n}"
+    # few spurious detections
+    assert n <= len(truth["x"]) + 3
+
+
+def test_find_stars_centroid_accuracy(field):
+    img, truth = field
+    _, med, std = (float(v) for v in sigma_clipped_stats(img, sigma=3.0))
+    stars = find_stars(img - med, fwhm=3.0, threshold=7.0 * std, max_stars=256)
+    det_x = np.asarray(stars.x)[np.asarray(stars.valid)]
+    det_y = np.asarray(stars.y)[np.asarray(stars.valid)]
+    matched = _match(truth["x"], truth["y"], det_x, det_y)
+    errs = [np.hypot(det_x[j] - truth["x"][i], det_y[j] - truth["y"][i])
+            for i, j in matched]
+    assert np.median(errs) < 0.25
+    assert np.max(errs) < 1.0
+
+
+def test_find_stars_no_detections_in_pure_noise():
+    rng = np.random.default_rng(9)
+    img = rng.normal(0.0, 5.0, (128, 128)).astype(np.float32)
+    stars = find_stars(img, fwhm=3.0, threshold=7.0 * 5.0, max_stars=64)
+    assert int(stars.count) == 0
+
+
+def test_find_stars_respects_mask(field):
+    img, truth = field
+    _, med, std = (float(v) for v in sigma_clipped_stats(img, sigma=3.0))
+    mask = np.zeros(img.shape, bool)
+    mask[:, :128] = True  # exclude left half
+    stars = find_stars(img - med, fwhm=3.0, threshold=7.0 * std,
+                       max_stars=256, mask=mask)
+    det_x = np.asarray(stars.x)[np.asarray(stars.valid)]
+    assert (det_x >= 127).all()
+
+
+def test_aperture_photometry_recovers_flux(field):
+    img, truth = field
+    _, med, std = (float(v) for v in sigma_clipped_stats(img, sigma=3.0))
+    stars = find_stars(img - med, fwhm=3.0, threshold=7.0 * std, max_stars=256)
+    r_ap, r_out = aperture_radii(3.0)
+    phot = aperture_photometry(img, stars.x, stars.y, stars.valid,
+                               r_ap, r_out, exposure=1.0)
+    det_x = np.asarray(stars.x)[np.asarray(stars.valid)]
+    det_y = np.asarray(stars.y)[np.asarray(stars.valid)]
+    sums = np.asarray(phot.aperture_sum)[np.asarray(stars.valid)]
+    matched = _match(truth["x"], truth["y"], det_x, det_y)
+    # r_ap = 6 px ~ 2.55 sigma -> encircled energy ~96% for fwhm=3
+    ratios = [sums[j] / truth["flux"][i] for i, j in matched]
+    assert abs(np.median(ratios) - 0.96) < 0.05
+    assert np.std(ratios) < 0.1
+    # background estimate close to injected sky level
+    bg = np.asarray(phot.bgmed_per_pix)[np.asarray(stars.valid)]
+    assert abs(np.median(bg) - 200.0) < 10.0
+
+
+def test_photometry_magnitude_definition():
+    img = np.zeros((64, 64), np.float32)
+    img += synth.gaussian_star((64, 64), 32.0, 32.0, 10000.0, 3.0).astype(np.float32)
+    phot = aperture_photometry(img, np.array([32.0]), np.array([32.0]),
+                               np.array([True]), 6, 9, exposure=10.0)
+    adu_s = float(phot.adu_per_sec[0])
+    assert adu_s == pytest.approx(float(phot.aperture_sum[0]) / 10.0)
+    assert float(phot.magnitude[0]) == pytest.approx(-2.5 * np.log10(adu_s),
+                                                     abs=1e-4)
+
+
+def test_find_saturated_and_mask_boxes():
+    img = np.full((64, 64), 100.0, np.float32)
+    img[10, 20] = 60000.0
+    img[40, 50] = 64000.0
+    x, y, valid = find_saturated(img, sat_thresh=0.8 * 65535, max_peaks=16)
+    pts = sorted(zip(np.asarray(y)[np.asarray(valid)],
+                     np.asarray(x)[np.asarray(valid)]))
+    assert pts == [(10.0, 20.0), (40.0, 50.0)]
+    m = np.asarray(mask_boxes((64, 64), x, y, valid, half_width=3))
+    assert m[10, 20] and m[13, 23] and m[40, 50]
+    assert not m[10, 28] and not m[0, 0]
+    assert m.sum() == 2 * 49
+
+
+def test_background2d_recovers_gradient():
+    rng = np.random.default_rng(3)
+    h, w = 128, 128
+    yy, xx = np.mgrid[0:h, 0:w]
+    sky = 100.0 + 0.3 * xx + 0.1 * yy
+    img = sky + rng.normal(0, 3.0, (h, w))
+    # add stars that must not bias the background
+    for sx, sy in [(30, 40), (90, 100), (64, 20)]:
+        img += synth.gaussian_star((h, w), sx, sy, 50000.0, 3.0)
+    img = img.astype(np.float32)
+    smask = np.asarray(source_mask(img, nsigma=3.0))
+    bg = np.asarray(background2d(img, smask, nboxes_y=8, nboxes_x=8))
+    resid = bg - sky
+    assert abs(resid.mean()) < 1.5
+    assert np.abs(resid).max() < 6.0
+
+
+def test_source_mask_covers_stars():
+    img = np.full((96, 96), 50.0, np.float32)
+    img += synth.gaussian_star((96, 96), 48.0, 48.0, 80000.0, 3.0).astype(np.float32)
+    img += np.random.default_rng(0).normal(0, 3, (96, 96)).astype(np.float32)
+    m = np.asarray(source_mask(img, nsigma=3.0, dilate=11))
+    assert m[48, 48]
+    assert m[44:53, 44:53].all()  # core + dilation covered
+    assert m.mean() < 0.2         # but not the whole image
