@@ -20,6 +20,15 @@ from .imarith import imarith
 from .detect import Stars, find_stars, find_saturated, mask_boxes
 from .photometry import Photometry, aperture_photometry, aperture_radii
 from .background import background2d, source_mask
+from .psf import (
+    PSFFits,
+    extract_cutouts,
+    fit_gaussian2d,
+    isolated_mask,
+    measure_fwhm,
+    median_fwhm,
+    nearest_neighbor_dist,
+)
 from .demosaic import (
     demosaic_bilinear,
     raw_to_rgb,
@@ -61,4 +70,11 @@ __all__ = [
     "aperture_radii",
     "background2d",
     "source_mask",
+    "PSFFits",
+    "extract_cutouts",
+    "fit_gaussian2d",
+    "isolated_mask",
+    "measure_fwhm",
+    "median_fwhm",
+    "nearest_neighbor_dist",
 ]
