@@ -1,0 +1,181 @@
+"""The flagship device pipeline: calibrate -> detect -> register -> warp
+-> sigma-clip stack, fused as one jitted computation over an
+HBM-resident frame batch.
+
+This is the BASELINE.json north-star path: the reference runs the same
+chain as five separate processes writing FITS between stages
+(ap_calibrate -> ap_find_stars -> ap_astrometry network solve -> swarp
+resample -> combine; SURVEY.md §3.5), one frame at a time.  Here the
+(N, H, W) stack stays on device end-to-end and every stage is batched:
+calibration broadcasts masters over the frame axis, detection vmaps the
+matched filter, registration solves all frame->reference similarities in
+parallel from the star tables, warping vmaps the Lanczos3 kernel, and
+the stack combine is a per-pixel masked sigma-clip reduce.
+
+Multi-chip: frames shard over the mesh for calibrate/detect/warp
+(embarrassingly parallel); XLA re-shards to the spatial axis for the
+cross-frame combine (an all-to-all over ICI) when the caller jits this
+function under a Mesh with sharded inputs (see parallel/).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.calibrate import calibrate_batch
+from ..ops.detect import find_stars
+from ..ops.register import Similarity, estimate_similarity
+from ..ops.stack import sigma_clip_combine
+from ..ops.warp import warp_affine_bilinear, warp_affine_lanczos3
+
+
+@dataclasses.dataclass(frozen=True)
+class PipelineConfig:
+    """Static configuration of the fused pipeline (hashable for jit)."""
+
+    fwhm: float = 3.0
+    detect_nsigma: float = 7.0
+    max_stars: int = 64
+    match_k: int = 12
+    sigma_lower: float = 5.0
+    sigma_upper: float = 5.0
+    combine: str = "average"
+    interp: str = "lanczos3"      # or "bilinear"
+    dark_still_biased: bool = True
+    #: number of horizontal bands the warp+combine streams over.  1 =
+    #: whole-stack at once (fastest when it fits); larger values bound
+    #: peak HBM to ~(stack + N*H/n_bands*W) instead of several full
+    #: (N, H, W) temporaries — required for 100x16-Mpix stacks.
+    n_bands: int = 1
+    #: detection across frames: 'vmap' (parallel, one density stack) or
+    #: 'scan' (sequential per frame, constant memory)
+    detect_mode: str = "vmap"
+
+
+@jax.jit
+def frame_noise_stats(frames: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Cheap per-frame (median-ish center, robust std) for detection
+    thresholds: 3 iterations of mean/std clipping on a 4x-subsampled
+    grid — avoids full-frame sorts in the hot path."""
+    sub = frames[:, ::4, ::4].reshape(frames.shape[0], -1)
+    keep = jnp.ones_like(sub, bool)
+    center = jnp.mean(sub, axis=1)
+    std = jnp.std(sub, axis=1)
+    for _ in range(3):
+        center = jnp.sum(jnp.where(keep, sub, 0), axis=1) \
+            / jnp.maximum(jnp.sum(keep, axis=1), 1)
+        var = jnp.sum(jnp.where(keep, (sub - center[:, None]) ** 2, 0), axis=1) \
+            / jnp.maximum(jnp.sum(keep, axis=1), 1)
+        std = jnp.sqrt(var)
+        keep = keep & (jnp.abs(sub - center[:, None]) < 3.0 * std[:, None])
+    return center, std
+
+
+@functools.partial(jax.jit, static_argnames=("config",))
+def calibrate_register_stack(
+    frames: jnp.ndarray,
+    bias: Optional[jnp.ndarray] = None,
+    dark: Optional[jnp.ndarray] = None,
+    flat: Optional[jnp.ndarray] = None,
+    exp_ratios: Optional[jnp.ndarray] = None,
+    badpix_mask: Optional[jnp.ndarray] = None,
+    config: PipelineConfig = PipelineConfig(),
+):
+    """Full fused pipeline over an (N, H, W) stack; frame 0 is the
+    registration reference.
+
+    Returns (stacked (H, W), diagnostics dict with per-frame transforms,
+    inlier counts, rms, star counts).
+    """
+    n, h, w = frames.shape
+    cal = calibrate_batch(
+        frames, bias, dark, flat, exp_ratios,
+        dark_still_biased=config.dark_still_biased,
+        badpix_mask=badpix_mask)
+
+    center, std = frame_noise_stats(cal)
+
+    def detect(frame, c, s):
+        return find_stars(frame - c, fwhm=config.fwhm,
+                          threshold=config.detect_nsigma * s,
+                          max_stars=config.max_stars)
+
+    if config.detect_mode == "scan":
+        stars = jax.lax.map(lambda args: detect(*args), (cal, center, std))
+    else:
+        stars = jax.vmap(detect)(cal, center, std)
+
+    ref = jax.tree_util.tree_map(lambda a: a[0], stars)
+
+    def est(i):
+        tgt = jax.tree_util.tree_map(lambda a: a[i], stars)
+        return estimate_similarity(
+            ref.x, ref.y, ref.flux, ref.valid,
+            tgt.x, tgt.y, tgt.flux, tgt.valid,
+            k=config.match_k)
+
+    sims = jax.vmap(est)(jnp.arange(n))
+    # frame 0 must map with the identity; overwrite for exactness
+    ident = Similarity(
+        scale=jnp.ones(()), theta=jnp.zeros(()), tx=jnp.zeros(()),
+        ty=jnp.zeros(()), n_inliers=jnp.int32(config.max_stars),
+        rms=jnp.zeros(()))
+    sims = jax.tree_util.tree_map(
+        lambda all_v, id_v: all_v.at[0].set(id_v), sims,
+        jax.tree_util.tree_map(lambda x: jnp.asarray(x), ident))
+
+    matrices = jax.vmap(lambda i: jax.tree_util.tree_map(
+        lambda a: a[i], sims).matrix())(jnp.arange(n))
+
+    warp = (warp_affine_lanczos3 if config.interp == "lanczos3"
+            else warp_affine_bilinear)
+
+    def warp_and_combine(band_matrices, band_h):
+        """Warp every frame onto one output band and combine it."""
+
+        def one_band(mats):
+            warped, weights = jax.vmap(
+                lambda f, m: warp(f, m, (band_h, w)))(cal, mats)
+            return sigma_clip_combine(
+                warped, mask=weights > 0.5,
+                sigma_lower=config.sigma_lower,
+                sigma_upper=config.sigma_upper,
+                method=config.combine)
+
+        return one_band(band_matrices)
+
+    if config.n_bands <= 1:
+        stacked = warp_and_combine(matrices, h)
+    else:
+        if h % config.n_bands:
+            raise ValueError(f"height {h} not divisible by n_bands "
+                             f"{config.n_bands}")
+        band_h = h // config.n_bands
+        # shift each band's output grid by adjusting the translation:
+        # out (x, y+y0) -> input coords adds A @ (0, y0) to t
+        y0s = jnp.arange(config.n_bands, dtype=jnp.float32) * band_h
+
+        def band_mats(y0):
+            shift = jnp.stack([matrices[:, 0, 1] * y0,
+                               matrices[:, 1, 1] * y0], axis=1)
+            return matrices.at[:, :, 2].add(shift)
+
+        bands = jax.lax.map(
+            lambda y0: warp_and_combine(band_mats(y0), band_h), y0s)
+        stacked = bands.reshape(h, w)
+
+    diagnostics = {
+        "scale": sims.scale,
+        "theta": sims.theta,
+        "tx": sims.tx,
+        "ty": sims.ty,
+        "n_inliers": sims.n_inliers,
+        "rms": sims.rms,
+        "n_stars": jnp.sum(stars.valid, axis=1),
+    }
+    return stacked, diagnostics

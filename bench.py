@@ -1,0 +1,96 @@
+#!/usr/bin/env python
+"""Benchmark: calibrate + register + sigma-clip stack throughput (GPix/s).
+
+The BASELINE.json north-star metric: sustained GPix/s for the fused
+calibrate->detect->register->warp->stack pipeline on one TPU chip
+(target > 5 GPix/s; the reference has no published numbers — it runs
+this chain as single-threaded Python over FITS files).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+vs_baseline is measured GPix/s divided by the 5 GPix/s target.
+
+Env overrides: BENCH_FRAMES, BENCH_SIZE (square frame edge),
+BENCH_REPEATS.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def main() -> int:
+    import jax
+    import jax.numpy as jnp
+
+    from astrophotography_tpu.models import PipelineConfig, calibrate_register_stack
+    from astrophotography_tpu import synth
+
+    n_frames = int(os.environ.get("BENCH_FRAMES", "40"))
+    size = int(os.environ.get("BENCH_SIZE", "2048"))
+    repeats = int(os.environ.get("BENCH_REPEATS", "3"))
+
+    rng = np.random.default_rng(0)
+
+    # synthetic field: ~40 stars, realistic levels, per-frame dithers
+    base = np.full((size, size), 800.0, np.float32)
+    xs = rng.uniform(32, size - 32, 40)
+    ys = rng.uniform(32, size - 32, 40)
+    fl = rng.uniform(20000, 60000, 40)
+    for x, y, f in zip(xs, ys, fl):
+        # add stars on a small patch only (cheap host-side construction)
+        x0, y0 = int(x) - 12, int(y) - 12
+        patch = synth.gaussian_star((25, 25), x - x0, y - y0, f, 3.0)
+        base[y0:y0 + 25, x0:x0 + 25] += patch
+    frames = np.empty((n_frames, size, size), np.float32)
+    for i in range(n_frames):
+        dx, dy = (rng.uniform(-4, 4, 2) if i else (0.0, 0.0))
+        shifted = np.roll(np.roll(base, int(round(dy)), axis=0),
+                          int(round(dx)), axis=1)
+        frames[i] = shifted + rng.normal(0, 8.0, (size, size))
+    bias = np.full((size, size), 300.0, np.float32)
+    frames += bias[None]
+
+    n_bands = int(os.environ.get("BENCH_BANDS", "0"))
+    if n_bands == 0:
+        # keep peak HBM near (stack + few bands): aim bands so that one
+        # band's warped stack is ~256 MB
+        band_target = max(1, (n_frames * size * size * 4) // (64 << 20))
+        n_bands = 1
+        while n_bands < band_target and size % (n_bands * 2) == 0:
+            n_bands *= 2
+    cfg = PipelineConfig(max_stars=48, match_k=10, interp="lanczos3",
+                         n_bands=n_bands,
+                         detect_mode="scan" if n_frames * size * size > 2 ** 26
+                         else "vmap")
+    frames_d = jnp.asarray(frames)
+    bias_d = jnp.asarray(bias)
+
+    # compile
+    stacked, diag = calibrate_register_stack(frames_d, bias=bias_d, config=cfg)
+    stacked.block_until_ready()
+
+    times = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        stacked, diag = calibrate_register_stack(frames_d, bias=bias_d,
+                                                 config=cfg)
+        stacked.block_until_ready()
+        times.append(time.perf_counter() - t0)
+    best = min(times)
+    gpix = n_frames * size * size / best / 1e9
+    result = {
+        "metric": f"calibrate+register+stack GPix/s ({n_frames}x{size}^2, "
+                  f"{jax.devices()[0].device_kind})",
+        "value": round(gpix, 3),
+        "unit": "GPix/s",
+        "vs_baseline": round(gpix / 5.0, 3),
+    }
+    print(json.dumps(result))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,157 @@
+"""End-to-end tests for the ap_* calibration-chain CLI tools."""
+
+import os
+
+import numpy as np
+import pytest
+import yaml
+
+from astrophotography_tpu import synth
+from astrophotography_tpu.io.fits import Header, open_fits, read_image, write_image
+from astrophotography_tpu.cli.ap_calibrate import main as ap_calibrate
+from astrophotography_tpu.cli.ap_combine_darks import main as ap_combine_darks
+from astrophotography_tpu.cli.ap_imarith import main as ap_imarith
+from astrophotography_tpu.cli.ap_find_badpix import main as ap_find_badpix
+from astrophotography_tpu.cli.ap_fix_badpix import main as ap_fix_badpix
+from astrophotography_tpu.cli.ap_auto_badcol import main as ap_auto_badcol
+from astrophotography_tpu.cli.ap_calc_read_noise import main as ap_calc_read_noise
+
+
+def _write(tmp_path, name, data, **keys):
+    hdr = Header()
+    for k, v in keys.items():
+        hdr[k] = v
+    path = str(tmp_path / name)
+    write_image(path, np.asarray(data, np.float32), hdr)
+    return path
+
+
+def test_ap_combine_darks_builds_master(tmp_path):
+    rng = np.random.default_rng(0)
+    d = tmp_path / "darks"
+    d.mkdir()
+    for i in range(6):
+        img = rng.normal(500.0, 8.0, (32, 32))
+        _write(d, f"dark{i}.fits", img, IMAGETYP="DARK", EXPTIME=60.0,
+               **{"SET-TEMP": -10.0, "CCD-TEMP": -10.1})
+    # one frame at bad temperature must be excluded
+    _write(d, "dark_warm.fits", rng.normal(520.0, 8.0, (32, 32)),
+           IMAGETYP="DARK", EXPTIME=60.0,
+           **{"SET-TEMP": -10.0, "CCD-TEMP": -5.0})
+    out = str(tmp_path / "master_dark.fits")
+    assert ap_combine_darks([str(d), out, "-l", "ERROR"]) == 0
+    data, hdr = read_image(out)
+    assert hdr["IMAGETYP"] == "MASTER DARK"
+    assert hdr["NCOMBINE"] == 6
+    assert abs(float(data.mean()) - 500.0) < 2.0
+    assert "IFILE000" in hdr
+    # inconsistent IMAGETYP must be fatal
+    _write(d, "bias_oops.fits", rng.normal(500, 8, (32, 32)),
+           IMAGETYP="BIAS", EXPTIME=60.0)
+    assert ap_combine_darks([str(d), out, "-l", "CRITICAL"]) == 1
+
+
+def test_ap_calibrate_full_chain(tmp_path):
+    rng = np.random.default_rng(1)
+    shape = (48, 48)
+    bias = rng.normal(300.0, 2.0, shape)
+    dark_rate = np.full(shape, 1.0)
+    flat = 1.0 + 0.1 * np.sin(np.arange(shape[1]) / 5.0)[None, :] * np.ones(shape)
+    scene, _ = synth.make_starfield(shape, n_stars=4, background=100.0,
+                                   seed=2, margin=8)
+    light = (scene.astype(np.float64) * flat + bias + dark_rate * 120.0)
+    bias_p = _write(tmp_path, "mbias.fits", bias, IMAGETYP="MASTER BIAS")
+    dark_p = _write(tmp_path, "mdark.fits", bias + dark_rate * 60.0,
+                    IMAGETYP="MASTER DARK", EXPTIME=60.0)
+    flat_p = _write(tmp_path, "mflat.fits", flat * 2.0,
+                    IMAGETYP="MASTER FLAT")
+    light_p = _write(tmp_path, "light.fits", light, IMAGETYP="LIGHT",
+                     EXPTIME=120.0)
+    out = str(tmp_path / "cal.fits")
+    rc = ap_calibrate([light_p, bias_p, dark_p, out,
+                       "--master_flat", flat_p, "-l", "ERROR"])
+    assert rc == 0
+    data, hdr = read_image(out)
+    assert hdr["BIASCORR"] is True
+    assert hdr["DARKCORR"] is True
+    assert hdr["FLATCORR"] is True
+    assert hdr["BUNIT"] == "adu"
+    # flat is normalized by its mean (~2.0) so division recovers the scene
+    resid = data - scene
+    assert abs(np.median(resid)) < 3.0
+
+
+def test_ap_imarith_scalar_and_image(tmp_path):
+    a = _write(tmp_path, "a.fits", np.full((8, 8), 10.0))
+    b = _write(tmp_path, "b.fits", np.full((8, 8), 4.0))
+    out = str(tmp_path / "o.fits")
+    assert ap_imarith([a, "MUL", "2.5", out, "-l", "ERROR"]) == 0
+    data, hdr = read_image(out)
+    np.testing.assert_allclose(data, 25.0)
+    assert any("ap_imarith" in h for h in hdr.history)
+    assert ap_imarith([a, "sub", b, out, "--units", "adu", "-l", "ERROR"]) == 0
+    data, hdr = read_image(out)
+    np.testing.assert_allclose(data, 6.0)
+    assert hdr["BUNIT"] == "adu"
+    # mismatched shapes -> error exit
+    c = _write(tmp_path, "c.fits", np.zeros((4, 4)))
+    assert ap_imarith([a, "ADD", c, out, "-l", "CRITICAL"]) == 1
+
+
+def test_find_and_fix_badpix_workflow(tmp_path):
+    dark, hot = synth.make_dark((64, 64), n_hot=6, seed=5)
+    master_p = _write(tmp_path, "mdark.fits", dark, IMAGETYP="MASTER DARK")
+    user_yaml = str(tmp_path / "user.yml")
+    with open(user_yaml, "w") as fh:
+        yaml.safe_dump({"bad_columns": [5], "bad_rectangles": [[10, 12, 20, 21]]},
+                       fh)
+    mask_p = str(tmp_path / "badpix.fits")
+    assert ap_find_badpix([master_p, mask_p, "--sigma", "5",
+                           "--user_badpix", user_yaml, "-l", "ERROR"]) == 0
+    mask, mhdr = read_image(mask_p, as_float32=False, remove_pedestal=False)
+    mask = np.asarray(mask)
+    # user regions can overwrite auto flags where they overlap
+    assert mhdr["BPIXNAUT"] >= 5
+    assert (mask[:, 4] == 2).all()          # user column (1-based 5)
+    assert (mask[19:21, 9:12] == 2).all()   # rectangle xmin,xmax,ymin,ymax
+    assert (mask[hot] > 0).all()
+
+    # fix a light frame using the mask
+    rng = np.random.default_rng(6)
+    img = rng.normal(1000.0, 5.0, (64, 64))
+    img[hot] = 60000.0
+    light_p = _write(tmp_path, "light.fits", img)
+    fixed_p = str(tmp_path / "fixed.fits")
+    assert ap_fix_badpix([light_p, mask_p, fixed_p, "--deltapix", "2",
+                          "-l", "ERROR"]) == 0
+    fixed, fhdr = read_image(fixed_p)
+    assert abs(fixed[hot] - 1000.0).max() < 30.0
+    assert fhdr["BPIXCORR"] is True
+    assert fhdr["BPIXNFIX"] > 0
+
+
+def test_ap_auto_badcol_cli(tmp_path):
+    rng = np.random.default_rng(7)
+    img = rng.normal(800.0, 4.0, (64, 96))
+    img[:, 33] += 200.0
+    p = _write(tmp_path, "m.fits", img)
+    out_yaml = str(tmp_path / "cols.yml")
+    assert ap_auto_badcol([p, "--output_yaml", out_yaml, "-l", "ERROR"]) == 0
+    with open(out_yaml) as fh:
+        data = yaml.safe_load(fh)
+    assert 34 in data["bad_columns"]  # 1-based
+
+
+def test_ap_calc_read_noise(tmp_path, capsys):
+    rng = np.random.default_rng(8)
+    rn_e, gain = 9.0, 1.5
+    shape = (128, 128)
+    b1 = _write(tmp_path, "b1.fits",
+                rng.normal(500.0, rn_e / gain, shape), GAIN=gain)
+    b2 = _write(tmp_path, "b2.fits",
+                rng.normal(500.0, rn_e / gain, shape), GAIN=gain)
+    assert ap_calc_read_noise([b1, b2, "-l", "ERROR"]) == 0
+    out = capsys.readouterr().out
+    assert "READ_NOISE=" in out
+    value = float(out.split("READ_NOISE=")[1].split()[0])
+    assert value == pytest.approx(rn_e, rel=0.1)
