@@ -1,0 +1,81 @@
+"""ap_measure_background: large-scale 2-D sky background model.
+
+Reference surface (scripts/ap_measure_background.py:67-127): positional
+input + output background image; --nbg_cols/--nbg_rows (16), box-size
+minima, --bg_filter_width 3, --bg_badbox_pctile 25, --bg_sigmaclip 3.
+The box grid geometry is padded to divisibility on the host
+(the analogue of the reference's _set_bgbox_size rounding,
+core/ApMeasureBackground.py:255-330).
+"""
+
+from __future__ import annotations
+
+import argparse
+from typing import List, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from .common import add_loglevel, cli_main
+from ..io.fits import read_image, write_image
+from ..ops.background import background2d, source_mask
+from ..utils.logger import get_logger
+
+logger = get_logger("cli.ap_measure_background")
+
+
+def parse(argv: Optional[List[str]]) -> argparse.Namespace:
+    p = argparse.ArgumentParser(
+        prog="ap_measure_background",
+        description="Model the large-scale sky background of an image")
+    p.add_argument("input", help="input FITS image")
+    p.add_argument("output", help="output background FITS image")
+    p.add_argument("--nbg_cols", type=int, default=16,
+                   help="number of background boxes across (default 16)")
+    p.add_argument("--nbg_rows", type=int, default=16,
+                   help="number of background boxes down (default 16)")
+    p.add_argument("--bg_filter_width", type=int, default=3,
+                   help="median filter width over the box grid (default 3)")
+    p.add_argument("--bg_badbox_pctile", type=float, default=25.0,
+                   help="min %% of unmasked pixels for a box (default 25)")
+    p.add_argument("--bg_sigmaclip", type=float, default=3.0,
+                   help="sigma clip within each box (default 3)")
+    p.add_argument("--subtract", default=None,
+                   help="also write the background-subtracted image here")
+    add_loglevel(p)
+    return p.parse_args(argv)
+
+
+def run(ns: argparse.Namespace) -> None:
+    data, hdr = read_image(ns.input)
+    h, w = data.shape
+    # pad to divisibility by the box grid (edge-replicate), crop after
+    ph = (-h) % ns.nbg_rows
+    pw = (-w) % ns.nbg_cols
+    padded = np.pad(data, ((0, ph), (0, pw)), mode="edge")
+    smask = source_mask(jnp.asarray(padded), nsigma=3.0, dilate=13)
+    bg = background2d(
+        jnp.asarray(padded), smask,
+        nboxes_y=ns.nbg_rows, nboxes_x=ns.nbg_cols,
+        filter_size=ns.bg_filter_width, sigma=ns.bg_sigmaclip,
+        exclude_percentile=ns.bg_badbox_pctile)
+    bg = np.asarray(bg)[:h, :w]
+    out_hdr = hdr.copy()
+    out_hdr["IMAGETYP"] = ("Background Sky", "Background model image")
+    out_hdr.add_history(
+        f"Background model: {ns.nbg_rows}x{ns.nbg_cols} boxes, "
+        f"filter {ns.bg_filter_width}, sigma {ns.bg_sigmaclip}")
+    write_image(ns.output, bg, out_hdr)
+    logger.info(f"Background model written to {ns.output} "
+                f"(median {np.median(bg):.2f} ADU)")
+    if ns.subtract:
+        sub_hdr = hdr.copy()
+        sub_hdr.add_history(f"Subtracted sky background model {ns.output}")
+        write_image(ns.subtract, data - bg, sub_hdr)
+
+
+main = cli_main(run, parse)
+
+if __name__ == "__main__":
+    import sys
+    sys.exit(main())
