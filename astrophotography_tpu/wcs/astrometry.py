@@ -1,0 +1,247 @@
+"""Astrometric (plate) solving: astrometry.net client + local solver.
+
+Equivalent of ApAstrometry (reference core/ApAstrometry.py:66-520):
+reads the AP_XYPOS source list produced by ap_find_stars, generates
+solve hints (center/radius from APRX_RA/APRX_DEC, scale bounds from the
+plate-scale keywords with a scale_err_ratio, reference :176-274),
+submits the XY list to nova.astrometry.net, and writes a WCS-stamped
+copy of the image plus ra/dec columns in the source list (:455-494).
+
+Differences from the reference, by design:
+
+* the HTTP transport is an injectable callable so tests and offline
+  batch runs never touch the network (SURVEY.md §4 item f);
+* a LOCAL solve path: when a solved reference frame is available, the
+  frame-to-frame registration (ops/register.py) plus TanWCS.fit
+  produces an absolute WCS with no network at all (SURVEY.md §2.5
+  astrometry.net row).
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import time
+from typing import Callable, Dict, Optional
+
+import numpy as np
+
+from ..io.fits import HDUList, Header, ImageHDU, open_fits
+from ..utils.logger import get_logger
+from .wcs import TanWCS
+
+logger = get_logger("wcs.astrometry")
+
+#: transport signature: (x, y, image_width, image_height, hints,
+#: timeout) -> FITS-WCS-like dict of header keywords, or None on failure
+Transport = Callable[..., Optional[Dict[str, float]]]
+
+DEFAULT_TIMEOUT = 180.0  # reference core/ApAstrometry.py:380
+
+
+def generate_hints(
+    srclist_hdr: Header,
+    user_scale: Optional[float] = None,
+    scale_err_ratio: float = 1.3,
+) -> Dict[str, float]:
+    """Solve hints from source-list keywords (reference _generate_hints,
+    core/ApAstrometry.py:176-274)."""
+    hints: Dict[str, float] = {}
+    ra = srclist_hdr.get("RA-OBJ", srclist_hdr.get("APRX_RA"))
+    dec = srclist_hdr.get("DEC-OBJ", srclist_hdr.get("APRX_DEC"))
+    fov = xps = yps = None
+    if user_scale is None:
+        fov = srclist_hdr.get("APRX_FOV")
+        xps = srclist_hdr.get("APRX_XPS")
+        yps = srclist_hdr.get("APRX_YPS")
+    else:
+        cols = int(srclist_hdr.get("IMG_COLS", 4096))
+        rows = int(srclist_hdr.get("IMG_ROWS", 4096))
+        xsiz = cols * user_scale / 3600.0
+        ysiz = rows * user_scale / 3600.0
+        fov = math.hypot(xsiz, ysiz)
+        xps = yps = user_scale
+    if ra is not None and dec is not None:
+        hints["center_ra"] = float(ra)
+        hints["center_dec"] = float(dec)
+        if fov is None:
+            fov = 4.0  # reference's iTelescope upper bound guess
+        hints["radius"] = math.ceil(float(fov) * 1.5 * scale_err_ratio)
+    else:
+        logger.warning("Could not estimate center_ra/center_dec/radius hints")
+    if xps is not None and yps is not None:
+        mean_ps = math.sqrt((float(xps) ** 2 + float(yps) ** 2) / 2)
+        hints["scale_units"] = "arcsecperpix"
+        hints["scale_type"] = "ul"
+        hints["scale_lower"] = mean_ps / scale_err_ratio
+        hints["scale_upper"] = mean_ps * scale_err_ratio
+    else:
+        logger.warning("Could not generate scale hints")
+    return hints
+
+
+def nova_transport(api_key: str) -> Transport:
+    """Real nova.astrometry.net transport (network; solve-from-source-list
+    protocol).  Constructed lazily so offline use never imports urllib."""
+
+    def solve(x, y, width, height, hints, timeout=DEFAULT_TIMEOUT):
+        import json
+        import urllib.request
+
+        base = "http://nova.astrometry.net/api/"
+
+        def post(path, payload, files=None):
+            data = ("request-json=" + json.dumps(payload)).encode()
+            req = urllib.request.Request(base + path, data=data)
+            with urllib.request.urlopen(req, timeout=30) as resp:
+                return json.loads(resp.read())
+
+        login = post("login", {"apikey": api_key})
+        if login.get("status") != "success":
+            raise RuntimeError(f"astrometry.net login failed: {login}")
+        session = login["session"]
+        # upload the x,y list as a text payload
+        sub = post("url_upload", {
+            "session": session,
+            "x": list(map(float, x)),
+            "y": list(map(float, y)),
+            "image_width": int(width),
+            "image_height": int(height),
+            "parity": 2,
+            "crpix_center": True,
+            **hints,
+        })
+        subid = sub.get("subid")
+        t0 = time.time()
+        while time.time() - t0 < timeout:
+            status = post(f"submissions/{subid}", {})
+            jobs = [j for j in status.get("jobs", []) if j]
+            for job in jobs:
+                jstat = post(f"jobs/{job}", {})
+                if jstat.get("status") == "success":
+                    cal = post(f"jobs/{job}/calibration", {})
+                    return _calibration_to_wcs(cal, width, height)
+                if jstat.get("status") == "failure":
+                    return None
+            time.sleep(5)
+        return None
+
+    return solve
+
+
+def _calibration_to_wcs(cal: Dict, width: int, height: int) -> Dict[str, float]:
+    """astrometry.net calibration dict -> WCS header keywords."""
+    scale_deg = float(cal["pixscale"]) / 3600.0
+    theta = math.radians(float(cal.get("orientation", 0.0)))
+    parity = -1.0 if cal.get("parity", 1) < 0 else 1.0
+    cd = np.array([[parity * scale_deg * math.cos(theta),
+                    -scale_deg * math.sin(theta)],
+                   [parity * scale_deg * math.sin(theta),
+                    scale_deg * math.cos(theta)]])
+    return {
+        "CRVAL1": float(cal["ra"]), "CRVAL2": float(cal["dec"]),
+        "CRPIX1": width / 2.0, "CRPIX2": height / 2.0,
+        "CD1_1": cd[0, 0], "CD1_2": cd[0, 1],
+        "CD2_1": cd[1, 0], "CD2_2": cd[1, 1],
+        "CTYPE1": "RA---TAN", "CTYPE2": "DEC--TAN",
+    }
+
+
+#: WCS keywords copied to the output image, everything else preserved
+#: (reference _write_fits_image excludes structural keys, :505-506)
+_WCS_KEYS = ("CTYPE1", "CTYPE2", "CRVAL1", "CRVAL2", "CRPIX1", "CRPIX2",
+             "CD1_1", "CD1_2", "CD2_1", "CD2_2", "CUNIT1", "CUNIT2",
+             "EQUINOX", "A_ORDER", "B_ORDER")
+
+
+class Astrometry:
+    """Plate-solve an image from its source list and stamp the WCS."""
+
+    def __init__(
+        self,
+        transport: Optional[Transport] = None,
+        user_scale: Optional[float] = None,
+        scale_err_ratio: float = 1.3,
+    ) -> None:
+        self._transport = transport
+        self._user_scale = user_scale
+        self._scale_err_ratio = scale_err_ratio
+
+    def solve(
+        self,
+        image_path: str,
+        srclist_path: str,
+        output_path: str,
+        xy_extension: str = "AP_XYPOS",
+        timeout: float = DEFAULT_TIMEOUT,
+    ) -> Optional[TanWCS]:
+        """Solve and write the WCS-stamped image + updated source list."""
+        img_hdus = open_fits(image_path)
+        img_hdu = img_hdus[0]
+        src_hdus = open_fits(srclist_path)
+        src_hdr = src_hdus[0].header
+        # provenance sanity check (reference _sanity_check, :435-453)
+        want = src_hdr.get("IMG_FILE")
+        if want and os.path.basename(image_path) != str(want):
+            logger.warning(
+                f"Source list was built from {want!r}, solving "
+                f"{os.path.basename(image_path)!r} anyway")
+        xy = src_hdus[xy_extension]
+        x = np.asarray(xy["X"], float)
+        y = np.asarray(xy["Y"], float)
+        h, w = img_hdu.data.shape
+        hints = generate_hints(src_hdr, self._user_scale,
+                               self._scale_err_ratio)
+        if self._transport is None:
+            raise RuntimeError(
+                "No astrometry transport configured; use "
+                "nova_transport(api_key) or the local registration path")
+        wcs_keys = self._transport(x, y, w, h, hints, timeout=timeout)
+        if wcs_keys is None:
+            logger.error("Plate solve failed")
+            return None
+        out_hdr = img_hdu.header.copy()
+        for k, v in wcs_keys.items():
+            out_hdr[k] = v
+        out_hdr["ASTRSOLV"] = (True, "Astrometric solution succeeded")
+        out_hdr.add_history("WCS from astrometry.net source-list solve")
+        HDUList([ImageHDU(img_hdu.data, out_hdr)]).writeto(output_path)
+        wcs = TanWCS.from_header(out_hdr)
+        self._update_sourcelist(src_hdus, srclist_path, wcs, xy_extension)
+        logger.info(f"Solved {image_path}: center "
+                    f"RA={wcs.crval[0]:.5f} Dec={wcs.crval[1]:.5f}, "
+                    f"scale {wcs.pixel_scale_arcsec:.3f} arcsec/pix")
+        return wcs
+
+    @staticmethod
+    def _update_sourcelist(src_hdus: HDUList, srclist_path: str,
+                           wcs: TanWCS, xy_extension: str) -> None:
+        """Add ra/dec columns to the XY table (reference
+        _update_sourcelist, :455-494)."""
+        xy = src_hdus[xy_extension]
+        ra, dec = wcs.pix2world(np.asarray(xy["X"]), np.asarray(xy["Y"]))
+        xy.columns["ra"] = ra
+        xy.columns["dec"] = dec
+        src_hdus.writeto(srclist_path)
+
+
+def solve_from_reference(
+    ref_wcs: TanWCS,
+    sim,  # ops.register.Similarity mapping ref pixels -> target pixels
+) -> TanWCS:
+    """Absolute WCS for a frame registered against a solved reference.
+
+    Maps a grid of reference pixels through the reference WCS (sky) and
+    the similarity (target pixels), then fits a TAN solution — the
+    local, network-free plate solve used by the stacking path.
+    """
+    gx, gy = np.meshgrid(np.linspace(1, 2 * ref_wcs.crpix[0], 8),
+                         np.linspace(1, 2 * ref_wcs.crpix[1], 8))
+    gx = gx.ravel()
+    gy = gy.ravel()
+    ra, dec = ref_wcs.pix2world(gx, gy)
+    # Similarity maps (0-based) ref -> target; convert FITS 1-based
+    tx, ty = sim.apply(gx - 1.0, gy - 1.0)
+    tx = np.asarray(tx) + 1.0
+    ty = np.asarray(ty) + 1.0
+    return TanWCS.fit(tx, ty, ra, dec)

@@ -1,0 +1,157 @@
+"""Tests for the TAN/SIP WCS, astrometry client (mock transport), and
+local registration-based solving."""
+
+import numpy as np
+import pytest
+
+from astrophotography_tpu.io.fits import Header
+from astrophotography_tpu.wcs import TanWCS
+from astrophotography_tpu.wcs.astrometry import (Astrometry, generate_hints,
+                                                 solve_from_reference)
+
+
+def _example_wcs(with_sip=False):
+    cd = np.array([[-1.5e-4, 1.0e-6], [1.1e-6, 1.5e-4]])
+    sip_a = {(2, 0): 1e-7, (0, 2): -5e-8, (1, 1): 2e-8} if with_sip else None
+    sip_b = {(2, 0): -8e-8, (0, 2): 4e-8} if with_sip else None
+    return TanWCS((123.456, -45.678), (1024.0, 768.0), cd, sip_a, sip_b)
+
+
+@pytest.mark.parametrize("with_sip", [False, True])
+def test_wcs_roundtrip_world_pix(with_sip):
+    wcs = _example_wcs(with_sip)
+    rng = np.random.default_rng(0)
+    x = rng.uniform(1, 2048, 50)
+    y = rng.uniform(1, 1536, 50)
+    ra, dec = wcs.pix2world(x, y)
+    x2, y2 = wcs.world2pix(ra, dec)
+    np.testing.assert_allclose(x2, x, atol=1e-6)
+    np.testing.assert_allclose(y2, y, atol=1e-6)
+
+
+def test_wcs_reference_point():
+    wcs = _example_wcs()
+    ra, dec = wcs.pix2world(1024.0, 768.0)
+    assert float(ra) == pytest.approx(123.456, abs=1e-9)
+    assert float(dec) == pytest.approx(-45.678, abs=1e-9)
+
+
+@pytest.mark.parametrize("with_sip", [False, True])
+def test_wcs_header_roundtrip(with_sip):
+    wcs = _example_wcs(with_sip)
+    hdr = wcs.to_header()
+    back = TanWCS.from_header(hdr)
+    rng = np.random.default_rng(1)
+    x = rng.uniform(1, 2048, 20)
+    y = rng.uniform(1, 1536, 20)
+    ra1, dec1 = wcs.pix2world(x, y)
+    ra2, dec2 = back.pix2world(x, y)
+    np.testing.assert_allclose(ra2, ra1, atol=1e-10)
+    np.testing.assert_allclose(dec2, dec1, atol=1e-10)
+
+
+def test_wcs_pixel_scale():
+    wcs = _example_wcs()
+    assert wcs.pixel_scale_arcsec == pytest.approx(1.5e-4 * 3600, rel=1e-3)
+
+
+def test_wcs_fit_recovers_solution():
+    truth = _example_wcs()
+    rng = np.random.default_rng(2)
+    x = rng.uniform(1, 2048, 40)
+    y = rng.uniform(1, 1536, 40)
+    ra, dec = truth.pix2world(x, y)
+    fit = TanWCS.fit(x, y, ra, dec)
+    ra2, dec2 = fit.pix2world(x, y)
+    # sub-milliarcsecond agreement
+    np.testing.assert_allclose(ra2, ra, atol=1e-7)
+    np.testing.assert_allclose(dec2, dec, atol=1e-7)
+
+
+def test_generate_hints_from_srclist_header():
+    hdr = Header()
+    hdr["APRX_RA"] = 187.5
+    hdr["APRX_DEC"] = 12.34
+    hdr["APRX_FOV"] = 1.0
+    hdr["APRX_XPS"] = 1.4
+    hdr["APRX_YPS"] = 1.4
+    hints = generate_hints(hdr)
+    assert hints["center_ra"] == 187.5
+    assert hints["center_dec"] == 12.34
+    assert hints["radius"] == 2  # ceil(1.0 * 1.5 * 1.3)
+    assert hints["scale_type"] == "ul"
+    assert hints["scale_lower"] == pytest.approx(1.4 / 1.3)
+    assert hints["scale_upper"] == pytest.approx(1.4 * 1.3)
+    # user_scale path
+    hdr2 = Header()
+    hdr2["APRX_RA"] = 10.0
+    hdr2["APRX_DEC"] = 20.0
+    hdr2["IMG_COLS"] = 1000
+    hdr2["IMG_ROWS"] = 1000
+    hints2 = generate_hints(hdr2, user_scale=2.0)
+    assert hints2["scale_lower"] == pytest.approx(2.0 / 1.3)
+    assert hints2["radius"] >= 1
+
+
+def test_astrometry_solve_with_mock_transport(tmp_path):
+    from astrophotography_tpu.io.fits import (BinTableHDU, HDUList, ImageHDU,
+                                              open_fits, write_image)
+
+    truth = _example_wcs()
+    rng = np.random.default_rng(3)
+    x = rng.uniform(50, 1998, 25)
+    y = rng.uniform(50, 1486, 25)
+    img_path = str(tmp_path / "img.fits")
+    write_image(img_path, np.zeros((1536, 2048), np.float32))
+
+    src_hdr = Header()
+    src_hdr["IMG_FILE"] = "img.fits"
+    src_hdr["APRX_RA"] = 123.4
+    src_hdr["APRX_DEC"] = -45.7
+    src_hdr["APRX_XPS"] = 0.54
+    src_hdr["APRX_YPS"] = 0.54
+    src_path = str(tmp_path / "src.fits")
+    HDUList([ImageHDU(None, src_hdr),
+             BinTableHDU({"X": x, "Y": y}, name="AP_XYPOS")]).writeto(src_path)
+
+    calls = {}
+
+    def mock_transport(xs, ys, w, h, hints, timeout=None):
+        calls["hints"] = hints
+        calls["n"] = len(xs)
+        return {k: v for k, v in truth.to_header().items()}
+
+    ast = Astrometry(transport=mock_transport)
+    out_path = str(tmp_path / "wcs.fits")
+    wcs = ast.solve(img_path, src_path, out_path)
+    assert wcs is not None
+    assert calls["n"] == 25
+    assert calls["hints"]["center_ra"] == 123.4
+    # output image has WCS keys
+    out = open_fits(out_path)[0]
+    assert out.header["CRVAL1"] == pytest.approx(123.456)
+    assert out.header["ASTRSOLV"] is True
+    # source list updated with ra/dec columns
+    src = open_fits(src_path)
+    xy = src["AP_XYPOS"]
+    ra_want, dec_want = truth.pix2world(x, y)
+    np.testing.assert_allclose(xy["ra"], ra_want, atol=1e-6)
+    np.testing.assert_allclose(xy["dec"], dec_want, atol=1e-6)
+
+
+def test_solve_from_reference_registration():
+    from astrophotography_tpu.ops.register import Similarity
+    import jax.numpy as jnp
+
+    ref = _example_wcs()
+    sim = Similarity(scale=jnp.float32(1.0), theta=jnp.float32(0.01),
+                     tx=jnp.float32(12.0), ty=jnp.float32(-8.0),
+                     n_inliers=jnp.int32(20), rms=jnp.float32(0.05))
+    tgt_wcs = solve_from_reference(ref, sim)
+    # a reference pixel and its mapped target pixel must agree on sky
+    for px, py in [(300.0, 200.0), (1500.0, 1200.0), (1024.0, 768.0)]:
+        ra_ref, dec_ref = ref.pix2world(px, py)
+        mx, my = sim.apply(px - 1.0, py - 1.0)
+        ra_tgt, dec_tgt = tgt_wcs.pix2world(float(mx) + 1.0, float(my) + 1.0)
+        assert float(ra_tgt) == pytest.approx(float(ra_ref), abs=3e-5)
+        assert float(dec_tgt) == pytest.approx(float(dec_ref), abs=3e-5)
