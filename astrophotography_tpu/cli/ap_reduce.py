@@ -1,0 +1,65 @@
+"""ap_reduce: batch reduction driver (calibrate_all/navigate_all/
+resample_all replacement in one tool).
+
+Covers the reference's bash L5 layer: per-target/filter calibration,
+quality reporting, and device-side register+stack, with noclean
+idempotency (reference calibrate_all.sh arguments
+[target] [telescope] [skybg|noskybg] [noclean|clean]).
+"""
+
+from __future__ import annotations
+
+import argparse
+from typing import List, Optional
+
+from .common import add_loglevel, cli_main
+from ..core.reduce import ReduceConfig, reduce_all
+
+
+def parse(argv: Optional[List[str]]) -> argparse.Namespace:
+    p = argparse.ArgumentParser(
+        prog="ap_reduce",
+        description="Batch-reduce a directory of light frames: calibrate, "
+                    "quality, register+stack per target/telescope/filter")
+    p.add_argument("datadir", help="directory of raw light FITS frames")
+    p.add_argument("caldir", help="calibration library directory (masters)")
+    p.add_argument("outdir", help="output directory")
+    p.add_argument("--skybg", action="store_true",
+                   help="subtract the modelled sky background")
+    p.add_argument("--fixcosmic", action="store_true",
+                   help="apply cosmic ray removal during calibration")
+    p.add_argument("--clean", action="store_true",
+                   help="recompute outputs even if they exist "
+                        "(default: noclean/skip-existing)")
+    p.add_argument("--no-quality", action="store_true",
+                   help="skip star finding / quality reports")
+    p.add_argument("--no-stack", action="store_true",
+                   help="skip registration + stacking")
+    p.add_argument("--search_fwhm", type=float, default=3.0)
+    p.add_argument("--search_nsigma", type=float, default=7.0)
+    p.add_argument("--stack_sigma", type=float, default=5.0)
+    p.add_argument("--stack_combine", default="average",
+                   choices=["average", "median", "sum"])
+    add_loglevel(p)
+    return p.parse_args(argv)
+
+
+def run(ns: argparse.Namespace) -> None:
+    cfg = ReduceConfig(
+        fixcosmic=ns.fixcosmic,
+        skybg=ns.skybg,
+        search_fwhm=ns.search_fwhm,
+        search_nsigma=ns.search_nsigma,
+        stack_sigma=ns.stack_sigma,
+        stack_combine=ns.stack_combine,
+        noclean=not ns.clean,
+        quality=not ns.no_quality,
+        stack=not ns.no_stack)
+    reduce_all(ns.datadir, ns.caldir, ns.outdir, cfg)
+
+
+main = cli_main(run, parse)
+
+if __name__ == "__main__":
+    import sys
+    sys.exit(main())

