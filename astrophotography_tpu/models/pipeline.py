@@ -31,7 +31,8 @@ from ..ops.calibrate import calibrate_batch
 from ..ops.detect import find_stars
 from ..ops.register import Similarity, estimate_similarity
 from ..ops.stack import sigma_clip_combine
-from ..ops.warp import warp_affine_bilinear, warp_affine_lanczos3
+from ..ops.warp import (warp_affine_bilinear, warp_affine_lanczos3,
+                        warp_affine_separable)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -45,7 +46,9 @@ class PipelineConfig:
     sigma_lower: float = 5.0
     sigma_upper: float = 5.0
     combine: str = "average"
-    interp: str = "lanczos3"      # or "bilinear"
+    #: 'separable' = gather-free two-pass Lanczos3 (TPU fast path),
+    #: 'lanczos3' = direct 6x6 gather kernel, 'bilinear' = cheap preview
+    interp: str = "separable"
     dark_still_biased: bool = True
     #: number of horizontal bands the warp+combine streams over.  1 =
     #: whole-stack at once (fastest when it fits); larger values bound
@@ -132,8 +135,9 @@ def calibrate_register_stack(
     matrices = jax.vmap(lambda i: jax.tree_util.tree_map(
         lambda a: a[i], sims).matrix())(jnp.arange(n))
 
-    warp = (warp_affine_lanczos3 if config.interp == "lanczos3"
-            else warp_affine_bilinear)
+    warp = {"separable": warp_affine_separable,
+            "lanczos3": warp_affine_lanczos3,
+            "bilinear": warp_affine_bilinear}[config.interp]
 
     def warp_and_combine(band_matrices, band_h):
         """Warp every frame onto one output band and combine it."""

@@ -44,9 +44,19 @@ def sigma_clip_combine(
     """
     stack = stack.astype(jnp.float32)
     keep = jnp.ones_like(stack, bool) if mask is None else mask
-    keep = sigma_clip_mask(stack, keep, sigma_lower=sigma_lower,
-                           sigma_upper=sigma_upper, maxiters=maxiters,
-                           axis=0, cenfunc="median", stdfunc="mad_std")
+    if maxiters == 1:
+        # fused fast path: exactly two sorts (median + MAD) and
+        # elementwise work — the general path re-sorts per statistic
+        med = masked_median(stack, keep, axis=0)
+        dev = jnp.abs(stack - med[None])
+        mad = masked_median(dev, keep, axis=0)
+        std = 1.482602218505602 * mad
+        keep = keep & (stack >= (med - sigma_lower * std)[None]) \
+            & (stack <= (med + sigma_upper * std)[None])
+    else:
+        keep = sigma_clip_mask(stack, keep, sigma_lower=sigma_lower,
+                               sigma_upper=sigma_upper, maxiters=maxiters,
+                               axis=0, cenfunc="median", stdfunc="mad_std")
     if method == "median":
         return masked_median(stack, keep, axis=0)
     if method == "sum":

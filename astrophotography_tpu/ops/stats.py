@@ -46,8 +46,17 @@ def masked_median(x: jnp.ndarray, mask: jnp.ndarray, axis: Optional[int] = None)
     n = jnp.sum(mv, axis=-1)
     lo = jnp.maximum((n - 1) // 2, 0)
     hi = jnp.maximum(n // 2, 0)
-    lo_val = jnp.take_along_axis(srt, lo[..., None], axis=-1)[..., 0]
-    hi_val = jnp.take_along_axis(srt, hi[..., None], axis=-1)[..., 0]
+    k = srt.shape[-1]
+    if k <= 64:
+        # per-element take_along_axis lowers to a gather (very slow on
+        # TPU); for short reduction axes an iota-match select-sum is
+        # pure VPU work
+        iota = jnp.arange(k)
+        lo_val = jnp.sum(jnp.where(iota == lo[..., None], srt, 0), axis=-1)
+        hi_val = jnp.sum(jnp.where(iota == hi[..., None], srt, 0), axis=-1)
+    else:
+        lo_val = jnp.take_along_axis(srt, lo[..., None], axis=-1)[..., 0]
+        hi_val = jnp.take_along_axis(srt, hi[..., None], axis=-1)[..., 0]
     med = 0.5 * (lo_val + hi_val)
     return jnp.where(n > 0, med, jnp.nan)
 

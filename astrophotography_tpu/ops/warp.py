@@ -100,6 +100,133 @@ def warp_affine_lanczos3(
     return out, jnp.clip(coverage, 0.0, 1.0)
 
 
+@functools.partial(jax.jit,
+                   static_argnames=("out_shape", "band", "span"))
+def warp_affine_separable(
+    img: jnp.ndarray,
+    matrix: jnp.ndarray,
+    out_shape: Tuple[int, int],
+    band: int = 64,
+    span: int = 24,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Gather-free two-pass Lanczos3 affine warp (the TPU fast path).
+
+    Per-pixel gathers are ~300x slower than static shifted slices on
+    TPU (XLA lowers them to scalar loads; measured ~11 ms/MPix/gather
+    vs ~0.03 ms/MPix/shift on v5e), so this implements the classic
+    two-pass separable decomposition (Heckbert): a horizontal resample
+    along source rows followed by a vertical resample.  Each pass
+    processes ``band`` rows at a time: one ``dynamic_slice`` positions
+    a (band x (width+span)) window at the band's integer base offset,
+    then ``span`` statically-shifted multiply-adds accumulate the 6
+    Lanczos taps, routed to the correct shift by integer-equality
+    masks.  Everything is elementwise VPU work at HBM bandwidth.
+
+    Correctness domain: |m11| bounded away from 0 and the in-band
+    source-offset variation must fit in span-6:
+    |gx-1|*W + |gy|*band <= span-6 (pass 1) and
+    |m10|*W + |m11-1|*band <= span-6 (pass 2).  With the defaults this
+    covers rotations up to ~0.5 deg at 2k width (raise ``span`` for
+    more).  Out-of-domain pixels degrade to zero coverage, not wrong
+    values, because unmatched taps simply find no equal shift.
+
+    The two-pass result samples along sheared rows; it equals the
+    direct 2-D kernel exactly for pure translations and differs at the
+    1e-3 level on smooth images for stacking-scale rotations.
+    Returns (warped, coverage) like warp_affine_lanczos3.
+    """
+    img = img.astype(jnp.float32)
+    h_in, w_in = img.shape
+    h_out, w_out = out_shape
+    band = min(band, h_in, h_out)
+    m00, m01, m02 = matrix[0, 0], matrix[0, 1], matrix[0, 2]
+    m10, m11, m12 = matrix[1, 0], matrix[1, 1], matrix[1, 2]
+
+    # exact decomposition out[y, x] = mid[sy(x,y), x],
+    # mid[y', x] = in[y', g(x, y')] with g(x, sy(x,y)) == sx(x,y)
+    inv_m11 = 1.0 / m11
+    gx = m00 - m01 * m10 * inv_m11
+    gy = m01 * inv_m11
+    g0 = m02 - m01 * m12 * inv_m11
+
+    pad = span + 6
+    # channel 0: data, channel 1: ones (coverage tracking); the ones
+    # channel is 1 only over the true image so zero-padding handles
+    # out-of-frame taps for both passes at once
+    src = jnp.stack([img, jnp.ones_like(img)])
+
+    n_bands1 = -(-h_in // band)
+    rows_pad1 = n_bands1 * band - h_in
+    # right/bottom pads are sized so the base clip below never excludes
+    # a tap that could touch the real image (base can reach dim + 3)
+    pad_r = w_out + span + 4
+    src_p = jnp.pad(src, ((0, 0), (0, rows_pad1), (pad, pad_r)))
+    xs_out = jnp.arange(w_out, dtype=jnp.float32)
+    xi_out = jnp.arange(w_out, dtype=jnp.int32)
+
+    def resample_terms(coord_loc, block, length, axis, idx_along):
+        """Accumulate span statically-shifted slices weighted by the
+        Lanczos taps of per-pixel coordinate ``coord_loc`` (block-local).
+        ``idx_along``: the output index along the resampled axis, which
+        the shifted slice implicitly adds to the shift."""
+        cfloor = jnp.floor(coord_loc)
+        taps = _lanczos_weights(coord_loc - cfloor)  # (..., 6)
+        first_tap = cfloor.astype(jnp.int32) - 2  # block index of tap d=0
+        acc = None
+        for s in range(span):
+            # route the 6 taps to this shift with equality selects —
+            # per-pixel indexing (take_along_axis) would lower to a
+            # gather, which is exactly what this kernel exists to avoid
+            d = idx_along + s - first_tap
+            w = jnp.zeros(d.shape, jnp.float32)
+            for dd in range(6):
+                w = w + jnp.where(d == dd, taps[..., dd], 0.0)
+            term = w[None] * jax.lax.dynamic_slice_in_dim(
+                block, s, length, axis=axis)
+            acc = term if acc is None else acc + term
+        return acc
+
+    def hband(b):
+        r0 = b * band
+        rows = r0.astype(jnp.float32) + jnp.arange(band, dtype=jnp.float32)
+        u = gx * xs_out[None, :] + gy * rows[:, None] + g0   # (band, w_out)
+        base = jnp.floor(jnp.min(u)).astype(jnp.int32) - 3
+        base = jnp.clip(base, -pad, w_in + 3)
+        block = jax.lax.dynamic_slice(
+            src_p, (0, r0, base + pad), (2, band, w_out + span))
+        return resample_terms(u - base.astype(jnp.float32), block,
+                              w_out, axis=2, idx_along=xi_out[None, :])
+
+    mid = jax.lax.map(hband, jnp.arange(n_bands1))
+    mid = jnp.moveaxis(mid, 1, 0).reshape(2, n_bands1 * band, w_out)
+    mid = mid[:, :h_in, :]
+
+    # vertical pass: out[y, x] = mid[v(x, y), x]
+    pad_b = band + span + 4
+    mid_p = jnp.pad(mid, ((0, 0), (pad, pad_b), (0, 0)))
+    n_bands2 = -(-h_out // band)
+    ri_band = jnp.arange(band, dtype=jnp.int32)
+
+    def vband(b):
+        r0 = b * band
+        rows = r0.astype(jnp.float32) + jnp.arange(band, dtype=jnp.float32)
+        v = m10 * xs_out[None, :] + m11 * rows[:, None] + m12
+        base = jnp.floor(jnp.min(v)).astype(jnp.int32) - 3
+        base = jnp.clip(base, -pad, h_in + 3)
+        block = jax.lax.dynamic_slice(
+            mid_p, (0, base + pad, 0), (2, band + span, w_out))
+        return resample_terms(v - base.astype(jnp.float32), block,
+                              band, axis=1, idx_along=ri_band[:, None])
+
+    out2 = jax.lax.map(vband, jnp.arange(n_bands2))
+    out2 = jnp.moveaxis(out2, 1, 0).reshape(2, n_bands2 * band, w_out)
+    out2 = out2[:, :h_out, :]
+    data, cover = out2[0], out2[1]
+    out = jnp.where(cover > 1e-6,
+                    data / jnp.where(cover > 1e-6, cover, 1.0), 0.0)
+    return out, jnp.clip(cover, 0.0, 1.0)
+
+
 @functools.partial(jax.jit, static_argnames=("out_shape",))
 def warp_affine_bilinear(
     img: jnp.ndarray,

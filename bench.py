@@ -61,23 +61,26 @@ def main() -> int:
         n_bands = 1
         while n_bands < band_target and size % (n_bands * 2) == 0:
             n_bands *= 2
-    cfg = PipelineConfig(max_stars=48, match_k=10, interp="lanczos3",
+    cfg = PipelineConfig(max_stars=48, match_k=10, interp="separable",
                          n_bands=n_bands,
                          detect_mode="scan" if n_frames * size * size > 2 ** 26
                          else "vmap")
     frames_d = jnp.asarray(frames)
     bias_d = jnp.asarray(bias)
 
-    # compile
-    stacked, diag = calibrate_register_stack(frames_d, bias=bias_d, config=cfg)
-    stacked.block_until_ready()
+    def run_once():
+        stacked, diag = calibrate_register_stack(frames_d, bias=bias_d,
+                                                 config=cfg)
+        # force real completion: a device-side reduction transferred to
+        # host (block_until_ready alone does not synchronize through the
+        # axon remote tunnel)
+        return float(jnp.sum(stacked))
 
+    run_once()  # compile + drain
     times = []
     for _ in range(repeats):
         t0 = time.perf_counter()
-        stacked, diag = calibrate_register_stack(frames_d, bias=bias_d,
-                                                 config=cfg)
-        stacked.block_until_ready()
+        run_once()
         times.append(time.perf_counter() - t0)
     best = min(times)
     gpix = n_frames * size * size / best / 1e9

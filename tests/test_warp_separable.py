@@ -1,0 +1,85 @@
+"""The gather-free separable warp must match the direct Lanczos warp."""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from astrophotography_tpu import synth
+from astrophotography_tpu.ops.warp import (warp_affine_lanczos3,
+                                           warp_affine_separable)
+
+
+def _scene(h=96, w=128, seed=0):
+    img = np.asarray(synth.make_rgb_scene((h, w), seed=seed,
+                                          peak=10000)[..., 0], np.float32)
+    img += synth.gaussian_star((h, w), w * 0.4, h * 0.6, 50000.0,
+                               3.0).astype(np.float32)
+    return img
+
+
+def test_separable_identity():
+    img = _scene()
+    ident = jnp.asarray([[1.0, 0.0, 0.0], [0.0, 1.0, 0.0]], jnp.float32)
+    out, cov = warp_affine_separable(img, ident, img.shape)
+    np.testing.assert_allclose(np.asarray(out), img, rtol=1e-4, atol=0.05)
+    assert np.asarray(cov)[4:-4, 4:-4].min() > 0.99
+
+
+def test_separable_matches_direct_translation():
+    img = _scene()
+    m = jnp.asarray([[1.0, 0.0, 5.37], [0.0, 1.0, -3.21]], jnp.float32)
+    out_s, cov_s = warp_affine_separable(img, m, img.shape)
+    out_d, cov_d = warp_affine_lanczos3(img, m, img.shape)
+    # identical where fully covered
+    full = (np.asarray(cov_d) > 0.999) & (np.asarray(cov_s) > 0.999)
+    np.testing.assert_allclose(np.asarray(out_s)[full],
+                               np.asarray(out_d)[full], rtol=1e-3, atol=0.5)
+
+
+@pytest.mark.parametrize("theta", [0.002, -0.005])
+def test_separable_matches_direct_rotation(theta):
+    img = _scene()
+    c, s = np.cos(theta), np.sin(theta)
+    m = jnp.asarray([[c, -s, 2.0], [s, c, 1.0]], jnp.float32)
+    out_s, cov_s = warp_affine_separable(img, m, img.shape)
+    out_d, cov_d = warp_affine_lanczos3(img, m, img.shape)
+    # interior only: partial-kernel border pixels renormalize differently
+    # (per-pass coverage vs joint coverage), both are valid edge policies
+    sl = (slice(8, -8), slice(8, -8))
+    full = (np.asarray(cov_d)[sl] > 0.999) & (np.asarray(cov_s)[sl] > 0.999)
+    a, b = np.asarray(out_s)[sl][full], np.asarray(out_d)[sl][full]
+    denom = np.maximum(np.abs(b), 50.0)
+    rel = np.abs(a - b) / denom
+    assert np.median(rel) < 1e-4
+    assert rel.max() < 5e-3
+
+
+def test_separable_star_position_and_flux():
+    h, w = 96, 128
+    img = np.zeros((h, w), np.float32)
+    img += synth.gaussian_star((h, w), 60.0, 50.0, 30000.0, 3.0).astype(np.float32)
+    theta = 0.004
+    c, s = np.cos(theta), np.sin(theta)
+    m = jnp.asarray([[c, -s, 3.25], [s, c, -2.5]], jnp.float32)
+    out, cov = warp_affine_separable(img, m, (h, w))
+    out = np.asarray(out)
+    # expected source position of output peak: find output (x,y) mapping
+    # to (60, 50): invert the affine
+    A = np.array([[c, -s], [s, c]])
+    t = np.array([3.25, -2.5])
+    ox, oy = np.linalg.solve(A, np.array([60.0, 50.0]) - t)
+    peak = np.unravel_index(out.argmax(), out.shape)
+    assert abs(peak[1] - ox) <= 1 and abs(peak[0] - oy) <= 1
+    assert out.sum() == pytest.approx(img.sum(), rel=2e-3)
+
+
+def test_separable_coverage_borders():
+    img = np.ones((64, 64), np.float32) * 100.0
+    m = jnp.asarray([[1.0, 0.0, 20.0], [0.0, 1.0, 0.0]], jnp.float32)
+    out, cov = warp_affine_separable(img, m, (64, 64))
+    cov = np.asarray(cov)
+    # output cols >= 44 map beyond the source edge
+    assert cov[:, 50:].max() < 0.05
+    assert cov[10:-10, 5:40].min() > 0.99
+    np.testing.assert_allclose(np.asarray(out)[10:-10, 5:40], 100.0,
+                               rtol=1e-3)
