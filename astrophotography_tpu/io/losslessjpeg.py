@@ -1,0 +1,200 @@
+"""Lossless JPEG (SOF3) codec: native C++ decoder + Python encoder.
+
+The decoder (native/losslessjpeg.cpp, built on demand with g++ and
+loaded via ctypes) provides the CR2/compressed-DNG decode capability
+the reference gets from LibRaw (reference core/RawConv.py:82).  The
+encoder here is pure Python — used to generate compressed DNGs for
+round-trip tests and as a writer utility; encoding is not on the hot
+path.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from ..utils.logger import get_logger
+
+logger = get_logger("io.losslessjpeg")
+
+_NATIVE_DIR = os.path.join(os.path.dirname(__file__), "..", "native")
+_SO_PATH = os.path.abspath(os.path.join(_NATIVE_DIR, "liblosslessjpeg.so"))
+_SRC_PATH = os.path.abspath(os.path.join(_NATIVE_DIR, "losslessjpeg.cpp"))
+
+_lib: Optional[ctypes.CDLL] = None
+
+
+def _build() -> None:
+    cmd = ["g++", "-O3", "-shared", "-fPIC", "-o", _SO_PATH, _SRC_PATH]
+    logger.info(f"Building native lossless-JPEG decoder: {' '.join(cmd)}")
+    subprocess.run(cmd, check=True, capture_output=True)
+
+
+def _load() -> ctypes.CDLL:
+    global _lib
+    if _lib is not None:
+        return _lib
+    if not os.path.exists(_SO_PATH) or (
+            os.path.exists(_SRC_PATH)
+            and os.path.getmtime(_SRC_PATH) > os.path.getmtime(_SO_PATH)):
+        _build()
+    lib = ctypes.CDLL(_SO_PATH)
+    lib.lljpeg_decode.restype = ctypes.c_int
+    lib.lljpeg_decode.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_size_t,
+        ctypes.POINTER(ctypes.c_uint16), ctypes.c_int,
+        ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+        ctypes.POINTER(ctypes.c_int)]
+    _lib = lib
+    return lib
+
+
+def decode_lossless_jpeg(payload: bytes, height: int, width: int) -> np.ndarray:
+    """Decode an SOF3 stream to an (height, width) uint16 mosaic.
+
+    ``height``/``width`` are the sensor geometry (e.g. from the TIFF
+    IFD); the JPEG frame may pack multiple components per sample
+    (jpeg_width * ncomp == width), which are re-interleaved along rows.
+    """
+    lib = _load()
+    buf = np.frombuffer(payload, dtype=np.uint8)
+    out = np.zeros(height * width + 16, dtype=np.uint16)
+    jw = ctypes.c_int()
+    jh = ctypes.c_int()
+    jc = ctypes.c_int()
+    rc = lib.lljpeg_decode(
+        buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), buf.size,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)), out.size,
+        ctypes.byref(jw), ctypes.byref(jh), ctypes.byref(jc))
+    if rc != 0:
+        raise ValueError(f"lossless JPEG decode failed (code {rc})")
+    jwv, jhv, jcv = jw.value, jh.value, jc.value
+    n = jhv * jwv * jcv
+    data = out[:n].reshape(jhv, jwv * jcv)
+    if (jhv, jwv * jcv) != (height, width):
+        if n == height * width:
+            data = data.reshape(height, width)
+        else:
+            raise ValueError(
+                f"decoded geometry {jhv}x{jwv}x{jcv} does not match "
+                f"expected {height}x{width}")
+    return np.ascontiguousarray(data)
+
+
+# --------------------------------------------------------------------------
+# Encoder (Python): SOF3, predictor 1, one Huffman table
+# --------------------------------------------------------------------------
+
+def _build_huffman_spec(max_ssss: int) -> Tuple[List[int], List[int]]:
+    """All categories at code length 5: trivially a valid prefix code
+    for up to 32 symbols (Kraft sum n/32 <= 1).  Compression is modest;
+    the encoder exists for round-trip tests, not for ratio."""
+    symbols = list(range(max_ssss + 1))
+    if len(symbols) > 32:
+        raise ValueError("too many ssss categories")
+    counts = [0] * 16
+    counts[4] = len(symbols)
+    return counts, symbols
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def put(self, value: int, nbits: int) -> None:
+        for i in range(nbits - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((value >> i) & 1)
+            self.nbits += 1
+            if self.nbits == 8:
+                self.out.append(self.acc)
+                if self.acc == 0xFF:
+                    self.out.append(0x00)  # byte stuffing
+                self.acc = 0
+                self.nbits = 0
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.acc = (self.acc << pad) | ((1 << pad) - 1)
+            self.out.append(self.acc)
+            if self.acc == 0xFF:
+                self.out.append(0x00)
+            self.acc = 0
+            self.nbits = 0
+        return bytes(self.out)
+
+
+def _canonical_codes(counts: List[int], symbols: List[int]):
+    codes = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(counts[length - 1]):
+            codes[symbols[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return codes
+
+
+def encode_lossless_jpeg(mosaic: np.ndarray, precision: int = 16,
+                         ncomp: int = 1) -> bytes:
+    """Encode an (H, W) uint16 array as lossless JPEG (predictor 1).
+
+    ``ncomp`` splits each row into interleaved components (CR2-style
+    2/4-component layouts); W must be divisible by ncomp.
+    """
+    mosaic = np.ascontiguousarray(mosaic, dtype=np.uint16)
+    h, w = mosaic.shape
+    if w % ncomp:
+        raise ValueError(f"width {w} not divisible by ncomp {ncomp}")
+    jw = w // ncomp
+    samples = mosaic.reshape(h, jw, ncomp).astype(np.int32)
+
+    # differences, predictor 1 (left; above for col 0; default at origin)
+    diffs = np.zeros_like(samples)
+    diffs[0, 0, :] = samples[0, 0, :] - (1 << (precision - 1))
+    diffs[0, 1:, :] = samples[0, 1:, :] - samples[0, :-1, :]
+    diffs[1:, 0, :] = samples[1:, 0, :] - samples[:-1, 0, :]
+    diffs[1:, 1:, :] = samples[1:, 1:, :] - samples[1:, :-1, :]
+
+    # lossless JPEG differences are modulo 2^16, mapped to
+    # [-32768, 32767]; exactly -32768 is the bit-less ssss=16 category
+    flat = ((diffs.reshape(-1) + 32768) % 65536) - 32768
+    mags = np.abs(flat)
+    ssss = np.zeros(flat.shape, np.int32)
+    nz = mags > 0
+    ssss[nz] = np.floor(np.log2(mags[nz])).astype(np.int32) + 1
+    max_ssss = int(ssss.max(initial=0))
+
+    counts, symbols = _build_huffman_spec(max(max_ssss, 1))
+    codes = _canonical_codes(counts, symbols)
+
+    bw = _BitWriter()
+    for d, s in zip(flat.tolist(), ssss.tolist()):
+        code, length = codes[s]
+        bw.put(code, length)
+        if s and s < 16:  # ssss=16 (diff -32768) carries no extra bits
+            v = d if d >= 0 else d + (1 << s) - 1
+            bw.put(v & ((1 << s) - 1), s)
+    entropy = bw.flush()
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return bytes([0xFF, marker]) + (len(payload) + 2).to_bytes(2, "big") \
+            + payload
+
+    dht = bytes([0x00]) + bytes(counts) + bytes(symbols)
+    sof_comps = b"".join(bytes([i + 1, 0x11, 0]) for i in range(ncomp))
+    sof = bytes([precision]) + h.to_bytes(2, "big") + jw.to_bytes(2, "big") \
+        + bytes([ncomp]) + sof_comps
+    sos_comps = b"".join(bytes([i + 1, 0x00]) for i in range(ncomp))
+    sos = bytes([ncomp]) + sos_comps + bytes([1, 0, 0])  # predictor 1, pt 0
+
+    return (b"\xFF\xD8" + seg(0xC4, dht) + seg(0xC3, sof) + seg(0xDA, sos)
+            + entropy + b"\xFF\xD9")

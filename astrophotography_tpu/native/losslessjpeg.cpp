@@ -1,0 +1,264 @@
+// Lossless JPEG (ITU-T81 process 14, SOF3) decoder.
+//
+// Native replacement for the LibRaw decode path the reference uses via
+// rawpy (reference core/RawConv.py:82): Canon CR2 and compressed DNG
+// files store the Bayer mosaic as Huffman-coded lossless JPEG.  This
+// implements the full SOF3 feature set needed for raw stills:
+// predictors 1-7, 2-16 bit precision, 1-4 interleaved components,
+// restart markers, byte stuffing, and point transform.
+//
+// Exposed as a C ABI for ctypes (no pybind11 in this environment).
+//
+// Build: g++ -O3 -shared -fPIC -o liblosslessjpeg.so losslessjpeg.cpp
+
+#include <cstdint>
+#include <cstring>
+#include <vector>
+
+namespace {
+
+struct BitReader {
+    const uint8_t* data;
+    size_t size;
+    size_t pos = 0;
+    uint32_t bitbuf = 0;
+    int bitcount = 0;
+    bool hit_marker = false;
+
+    explicit BitReader(const uint8_t* d, size_t n) : data(d), size(n) {}
+
+    // Refill with JPEG byte stuffing: 0xFF 0x00 -> literal 0xFF;
+    // 0xFF other -> marker (stop).
+    inline void refill() {
+        while (bitcount <= 24 && pos < size) {
+            uint8_t b = data[pos];
+            if (b == 0xFF) {
+                if (pos + 1 < size && data[pos + 1] == 0x00) {
+                    pos += 2;
+                } else {
+                    // marker: feed ones (spec pad); flag it
+                    hit_marker = true;
+                    bitbuf |= 0xFFu << (24 - bitcount);
+                    bitcount += 8;
+                    continue;
+                }
+            } else {
+                pos += 1;
+            }
+            bitbuf |= static_cast<uint32_t>(b) << (24 - bitcount);
+            bitcount += 8;
+        }
+    }
+
+    inline int get_bits(int n) {
+        if (n == 0) return 0;
+        if (bitcount < n) refill();
+        int v = static_cast<int>(bitbuf >> (32 - n));
+        bitbuf <<= n;
+        bitcount -= n;
+        return v;
+    }
+
+    inline int peek16() {
+        if (bitcount < 16) refill();
+        return static_cast<int>(bitbuf >> 16);
+    }
+
+    inline void skip(int n) {
+        bitbuf <<= n;
+        bitcount -= n;
+    }
+
+    // Reset at a restart marker: discard partial byte, skip RSTn.
+    void restart_sync() {
+        bitbuf = 0;
+        bitcount = 0;
+        hit_marker = false;
+        // scan forward to the RST marker and skip it
+        while (pos + 1 < size) {
+            if (data[pos] == 0xFF && data[pos + 1] >= 0xD0 &&
+                data[pos + 1] <= 0xD7) {
+                pos += 2;
+                return;
+            }
+            pos += 1;
+        }
+    }
+};
+
+struct Huffman {
+    // value and length lookup by 16-bit peek
+    uint8_t value[65536];
+    uint8_t length[65536];
+    bool valid = false;
+
+    void build(const uint8_t counts[16], const uint8_t* symbols) {
+        memset(length, 0, sizeof(length));
+        int code = 0;
+        int k = 0;
+        for (int len = 1; len <= 16; ++len) {
+            for (int i = 0; i < counts[len - 1]; ++i) {
+                int lo = code << (16 - len);
+                int hi = lo + (1 << (16 - len));
+                for (int c = lo; c < hi; ++c) {
+                    value[c] = symbols[k];
+                    length[c] = static_cast<uint8_t>(len);
+                }
+                ++code;
+                ++k;
+            }
+            code <<= 1;
+        }
+        valid = true;
+    }
+};
+
+inline int extend(int v, int ssss) {
+    // ITU-T81 F.2.2.1 EXTEND: map magnitude-coded value to signed
+    if (ssss == 0) return 0;
+    if (v < (1 << (ssss - 1))) return v - (1 << ssss) + 1;
+    return v;
+}
+
+inline int decode_diff(BitReader& br, const Huffman& h) {
+    int peek = br.peek16();
+    int len = h.length[peek];
+    if (len == 0) return 0;  // corrupt stream; keep going
+    int ssss = h.value[peek];
+    br.skip(len);
+    if (ssss == 0) return 0;
+    if (ssss == 16) return -32768;  // special case: diff = 32768
+    int bits = br.get_bits(ssss);
+    return extend(bits, ssss);
+}
+
+}  // namespace
+
+extern "C" {
+
+// Decode a lossless JPEG payload.
+//   data/size    : the JPEG stream (starting at SOI)
+//   out          : caller buffer of out_rows*out_cols uint16
+//   out_rows/cols: expected sensor geometry; the decoder writes
+//                  components interleaved along rows: row-major
+//                  (jpeg_height, jpeg_width * n_components) which the
+//                  caller reshapes.
+// Returns 0 on success, negative error code otherwise.
+// On success, *jw/*jh/*jc receive the JPEG frame geometry.
+int lljpeg_decode(const uint8_t* data, size_t size, uint16_t* out,
+                  int out_capacity, int* jw, int* jh, int* jc) {
+    if (size < 4 || data[0] != 0xFF || data[1] != 0xD8) return -1;  // no SOI
+    size_t pos = 2;
+    Huffman tables[4];
+    int precision = 0, height = 0, width = 0, ncomp = 0;
+    int comp_table[4] = {0, 0, 0, 0};
+    int predictor = 1, pt = 0;
+    int restart_interval = 0;
+    size_t scan_start = 0;
+
+    while (pos + 4 <= size) {
+        if (data[pos] != 0xFF) { ++pos; continue; }
+        uint8_t marker = data[pos + 1];
+        if (marker == 0xD8 || marker == 0x01 ||
+            (marker >= 0xD0 && marker <= 0xD7)) { pos += 2; continue; }
+        int seglen = (data[pos + 2] << 8) | data[pos + 3];
+        const uint8_t* seg = data + pos + 4;
+        if (marker == 0xC3 || marker == 0xC7 || marker == 0xCB ||
+            marker == 0xCF) {  // SOF3 (+ hierarchical variants)
+            precision = seg[0];
+            height = (seg[1] << 8) | seg[2];
+            width = (seg[3] << 8) | seg[4];
+            ncomp = seg[5];
+            if (ncomp < 1 || ncomp > 4) return -2;
+        } else if (marker == 0xC4) {  // DHT (possibly multiple tables)
+            int off = 0;
+            while (off + 17 <= seglen - 2) {
+                int tc_th = seg[off];
+                int id = tc_th & 0x0F;
+                const uint8_t* counts = seg + off + 1;
+                int total = 0;
+                for (int i = 0; i < 16; ++i) total += counts[i];
+                if (id < 4)
+                    tables[id].build(counts, seg + off + 17);
+                off += 17 + total;
+            }
+        } else if (marker == 0xDD) {  // DRI
+            restart_interval = (seg[0] << 8) | seg[1];
+        } else if (marker == 0xDA) {  // SOS
+            int ns = seg[0];
+            for (int i = 0; i < ns && i < 4; ++i)
+                comp_table[i] = seg[1 + 2 * i + 1] >> 4;
+            predictor = seg[1 + 2 * ns];
+            pt = seg[3 + 2 * ns] & 0x0F;
+            scan_start = pos + 4 + (seglen - 2);
+            break;
+        } else if (marker == 0xD9) {  // EOI before SOS
+            return -3;
+        }
+        pos += 2 + seglen;
+    }
+    if (height == 0 || width == 0 || ncomp == 0 || scan_start == 0) return -4;
+    if (height * width * ncomp > out_capacity) return -5;
+    for (int c = 0; c < ncomp; ++c)
+        if (!tables[comp_table[c]].valid) return -6;
+
+    *jw = width;
+    *jh = height;
+    *jc = ncomp;
+
+    BitReader br(data + scan_start, size - scan_start);
+    const int default_pred = 1 << (precision - 1 - pt);
+    const int rowlen = width * ncomp;
+    std::vector<int> diff(ncomp);
+
+    int mcu_count = 0;
+    bool just_restarted = false;
+    for (int row = 0; row < height; ++row) {
+        uint16_t* cur = out + static_cast<size_t>(row) * rowlen;
+        const uint16_t* prev = out + static_cast<size_t>(row - 1) * rowlen;
+        for (int col = 0; col < width; ++col) {
+            for (int c = 0; c < ncomp; ++c) {
+                int d = decode_diff(br, tables[comp_table[c]]);
+                int pred;
+                if ((row == 0 && col == 0) || just_restarted) {
+                    pred = default_pred;
+                } else if (col == 0) {
+                    pred = prev[c];  // first sample of row: above (Rb)
+                } else if (row == 0) {
+                    pred = cur[(col - 1) * ncomp + c];  // left (Ra)
+                } else {
+                    int Ra = cur[(col - 1) * ncomp + c];
+                    int Rb = prev[col * ncomp + c];
+                    int Rc = prev[(col - 1) * ncomp + c];
+                    switch (predictor) {
+                        case 1: pred = Ra; break;
+                        case 2: pred = Rb; break;
+                        case 3: pred = Rc; break;
+                        case 4: pred = Ra + Rb - Rc; break;
+                        case 5: pred = Ra + ((Rb - Rc) >> 1); break;
+                        case 6: pred = Rb + ((Ra - Rc) >> 1); break;
+                        case 7: pred = (Ra + Rb) >> 1; break;
+                        default: pred = Ra; break;
+                    }
+                }
+                int val = (pred + d) & 0xFFFF;
+                cur[col * ncomp + c] = static_cast<uint16_t>(val << pt);
+            }
+            just_restarted = false;
+            if (restart_interval) {
+                ++mcu_count;
+                if (mcu_count == restart_interval &&
+                    !(row == height - 1 && col == width - 1)) {
+                    br.restart_sync();
+                    mcu_count = 0;
+                    // predictors reset at each restart interval
+                    // (ITU-T81 H.2.2): next MCU uses the default
+                    just_restarted = true;
+                }
+            }
+        }
+    }
+    return 0;
+}
+
+}  // extern "C"

@@ -1,0 +1,82 @@
+"""Round-trip tests for the native lossless-JPEG decoder."""
+
+import numpy as np
+import pytest
+
+from astrophotography_tpu.io.losslessjpeg import (decode_lossless_jpeg,
+                                                  encode_lossless_jpeg)
+
+
+def test_roundtrip_random_16bit():
+    rng = np.random.default_rng(0)
+    mosaic = rng.integers(0, 65536, (64, 96)).astype(np.uint16)
+    payload = encode_lossless_jpeg(mosaic)
+    back = decode_lossless_jpeg(payload, 64, 96)
+    np.testing.assert_array_equal(back, mosaic)
+
+
+def test_roundtrip_smooth_12bit():
+    yy, xx = np.mgrid[0:48, 0:80]
+    mosaic = ((yy * 17 + xx * 5) % 4096).astype(np.uint16)
+    payload = encode_lossless_jpeg(mosaic, precision=12)
+    back = decode_lossless_jpeg(payload, 48, 80)
+    np.testing.assert_array_equal(back, mosaic)
+    # smooth data compresses below raw size
+    assert len(payload) < mosaic.nbytes
+
+
+def test_roundtrip_two_components():
+    """CR2-style interleaved 2-component layout."""
+    rng = np.random.default_rng(1)
+    mosaic = rng.integers(0, 16384, (32, 64)).astype(np.uint16)
+    payload = encode_lossless_jpeg(mosaic, precision=14, ncomp=2)
+    back = decode_lossless_jpeg(payload, 32, 64)
+    np.testing.assert_array_equal(back, mosaic)
+
+
+def test_roundtrip_extremes():
+    mosaic = np.zeros((16, 16), np.uint16)
+    mosaic[::2, ::2] = 65535
+    mosaic[1::2, 1::2] = 1
+    payload = encode_lossless_jpeg(mosaic)
+    back = decode_lossless_jpeg(payload, 16, 16)
+    np.testing.assert_array_equal(back, mosaic)
+
+
+def test_decode_garbage_raises():
+    with pytest.raises(ValueError):
+        decode_lossless_jpeg(b"not a jpeg stream", 8, 8)
+
+
+def test_compressed_dng_roundtrip(tmp_path):
+    """write_dng + external compression path: a DNG whose strip is
+    lossless-JPEG compressed decodes through load_dng."""
+    from astrophotography_tpu.io.raw import load_dng, write_dng
+    import struct
+
+    rng = np.random.default_rng(2)
+    mosaic = rng.integers(0, 65536, (24, 32)).astype(np.uint16)
+    plain = str(tmp_path / "plain.dng")
+    write_dng(plain, mosaic, black_levels=(512,) * 4, white_level=65535)
+    # rewrite the strip as compressed payload: patch Compression tag (259)
+    # and the strip contents
+    data = bytearray(open(plain, "rb").read())
+    payload = encode_lossless_jpeg(mosaic)
+    # parse minimal IFD to find tags
+    n, = struct.unpack_from("<H", data, 8)
+    strip_off = None
+    for i in range(n):
+        base = 10 + 12 * i
+        tag, typ, cnt = struct.unpack_from("<HHI", data, base)
+        if tag == 259:
+            struct.pack_into("<H", data, base + 8, 7)  # Compression=7
+        elif tag == 273:
+            strip_off, = struct.unpack_from("<I", data, base + 8)
+        elif tag == 279:
+            struct.pack_into("<I", data, base + 8, len(payload))
+    assert strip_off is not None
+    out = bytes(data[:strip_off]) + payload
+    comp = str(tmp_path / "comp.dng")
+    open(comp, "wb").write(out)
+    raw = load_dng(comp)
+    np.testing.assert_array_equal(raw.mosaic, mosaic)
