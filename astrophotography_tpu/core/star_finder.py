@@ -138,17 +138,59 @@ class StarFinder:
         return table
 
     # ------------------------------------------------------------------
-    def measure_fwhm(self, direction: str = "both"):
+    @staticmethod
+    def select_fit_candidates(
+        x: np.ndarray,
+        y: np.ndarray,
+        brightness: np.ndarray,
+        shape: Tuple[int, int],
+        box: int,
+        per_region: int = 5,
+    ) -> np.ndarray:
+        """Region-based PSF-fit candidate selection.
+
+        Reference ApMeasureStars scheme (core/ApMeasureStars.py:790-950):
+        the image is split into a central region plus four quadrants;
+        after excluding stars within box/2 of the edges, the brightest
+        ``per_region`` stars of each region are selected.  (Neighbor
+        isolation is applied separately on device.)  Returns a boolean
+        selection mask.
+        """
+        h, w = shape
+        margin = box // 2
+        ok = ((x >= margin) & (x < w - margin)
+              & (y >= margin) & (y < h - margin))
+        # center box: middle half of each axis; quadrants split the rest
+        in_center = ((x >= w / 4) & (x < 3 * w / 4)
+                     & (y >= h / 4) & (y < 3 * h / 4))
+        region = np.where(in_center, 0,
+                          1 + (x >= w / 2).astype(int)
+                          + 2 * (y >= h / 2).astype(int))
+        selected = np.zeros(len(x), bool)
+        for r in range(5):
+            members = np.where(ok & (region == r))[0]
+            if len(members):
+                order = members[np.argsort(-brightness[members])]
+                selected[order[:per_region]] = True
+        return selected
+
+    def measure_fwhm(self, direction: str = "both", per_region: int = 5):
         """Fit star PSFs and estimate the median FWHM
         (reference measure_fwhm, :474-553 delegating to ApMeasureStars)."""
         box = max(12, 2 * int(3 * self._search_fwhm))
         x = jnp.asarray(self._table["xcenter"])
         y = jnp.asarray(self._table["ycenter"])
         n = len(self._table["id"])
-        use = min(n, 64)
-        valid = jnp.arange(n) < use
+        sel = self.select_fit_candidates(
+            self._table["xcenter"], self._table["ycenter"],
+            self._table["adu_per_sec"], self._data.shape, box,
+            per_region=per_region)
+        valid = jnp.asarray(sel)
         iso = isolated_mask(x, y, jnp.ones(n, bool), min_sep=float(box))
         valid = valid & iso
+        # fall back to brightest stars if region selection empties out
+        valid = jnp.where(jnp.any(valid), valid,
+                          jnp.arange(n) < min(n, 5 * per_region))
         fits = measure_fwhm(self._data, x, y, valid,
                             init_fwhm=self._search_fwhm, box=box)
         self._psf = fits

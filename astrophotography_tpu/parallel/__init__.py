@@ -17,6 +17,7 @@ from .mesh import (
     replicate,
 )
 from .halo import halo_exchange_rows, sharded_map_overlap
+from .pipeline import AsyncWriter, PrefetchLoader, stream_stacks
 
 __all__ = [
     "frame_space_mesh",
@@ -25,4 +26,7 @@ __all__ = [
     "replicate",
     "halo_exchange_rows",
     "sharded_map_overlap",
+    "AsyncWriter",
+    "PrefetchLoader",
+    "stream_stacks",
 ]
