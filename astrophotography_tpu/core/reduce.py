@@ -222,9 +222,14 @@ def reduce_all(
                     sigma_lower=config.stack_sigma,
                     sigma_upper=config.stack_sigma,
                     combine=config.stack_combine)
+                # swarp-style FSCALE: stack mixed exposures in the
+                # reference frame's flux units
+                scales = np.asarray([exps[0] / e if e else 1.0
+                                     for e in exps], np.float32)
                 t0 = time.perf_counter()
                 stacked, diag = calibrate_register_stack(
-                    jnp.asarray(stack), config=pcfg)
+                    jnp.asarray(stack),
+                    flux_scales=jnp.asarray(scales), config=pcfg)
                 stacked = np.asarray(stacked)
                 dt = time.perf_counter() - t0
                 out_hdr = hdr0.copy() if hdr0 else Header()

@@ -87,10 +87,16 @@ def calibrate_register_stack(
     flat: Optional[jnp.ndarray] = None,
     exp_ratios: Optional[jnp.ndarray] = None,
     badpix_mask: Optional[jnp.ndarray] = None,
+    flux_scales: Optional[jnp.ndarray] = None,
     config: PipelineConfig = PipelineConfig(),
 ):
     """Full fused pipeline over an (N, H, W) stack; frame 0 is the
     registration reference.
+
+    ``flux_scales`` (N,) multiplies each calibrated frame before
+    stacking — the swarp FSCALE-from-EXPOSURE behavior (reference
+    scripts/resample_all.sh:300-314); pass ref_exptime/exptime_i to
+    stack mixed exposures in common flux units.
 
     Returns (stacked (H, W), diagnostics dict with per-frame transforms,
     inlier counts, rms, star counts).
@@ -100,6 +106,8 @@ def calibrate_register_stack(
         frames, bias, dark, flat, exp_ratios,
         dark_still_biased=config.dark_still_biased,
         badpix_mask=badpix_mask)
+    if flux_scales is not None:
+        cal = cal * flux_scales.astype(jnp.float32)[:, None, None]
 
     center, std = frame_noise_stats(cal)
 

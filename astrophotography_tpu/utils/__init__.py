@@ -2,6 +2,7 @@
 
 from .logger import AstroLogger, get_logger, logger
 from .config import AttrDict, YamlConfig, config
+from .timing import StageTimer, device_trace
 
 __all__ = [
     "AstroLogger",
@@ -10,4 +11,6 @@ __all__ = [
     "AttrDict",
     "YamlConfig",
     "config",
+    "StageTimer",
+    "device_trace",
 ]
