@@ -41,6 +41,10 @@ def parse(argv: Optional[List[str]]) -> argparse.Namespace:
                    help="write a quality report YAML here")
     p.add_argument("--ds9", default=None,
                    help="write a ds9 region file here")
+    p.add_argument("--plot", default=None,
+                   help="write an annotated detection plot (PNG) here")
+    p.add_argument("--fit_plots", default=None,
+                   help="write a grid of PSF-fit cutouts (PNG) here")
     add_loglevel(p)
     return p.parse_args(argv)
 
@@ -63,6 +67,10 @@ def run(ns: argparse.Namespace) -> None:
         finder.write_quality_report(ns.quality_report)
     if ns.ds9:
         finder.write_ds9_region_file(ns.ds9)
+    if ns.plot:
+        finder.plot_image(ns.plot)
+    if ns.fit_plots and not ns.nofwhm:
+        finder.plot_fits(ns.fit_plots)
 
 
 main = cli_main(run, parse)

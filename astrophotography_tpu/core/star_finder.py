@@ -397,6 +397,73 @@ class StarFinder:
             yaml.dump(_plain(report), fh, indent=4, sort_keys=False)
         logger.info(f"Wrote image quality report to {path}")
 
+    def plot_image(self, path: str, figsize=(10, 8)) -> None:
+        """Asinh-stretched image with aperture overlays
+        (reference plot_image, core/ApFindStars.py:224-270)."""
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+        from matplotlib.patches import Circle
+
+        data = np.asarray(self._data)
+        med = self._bg_median
+        std = max(self._bg_stddev, 1e-3)
+        stretched = np.arcsinh(np.clip((data - med) / std, -2, None))
+        fig, ax = plt.subplots(figsize=figsize)
+        im = ax.imshow(stretched, origin="lower", cmap="gray",
+                       interpolation="nearest")
+        r_ap, _ = aperture_radii(self._search_fwhm)
+        for x, y, sat in zip(self._table["xcenter"], self._table["ycenter"],
+                             self._table["psbl_sat"]):
+            ax.add_patch(Circle((x, y), r_ap, fill=False, lw=0.8,
+                                color="red" if sat else "lime"))
+        ax.set_title(f"{os.path.basename(self._fitsimg)}: "
+                     f"{self._nsrcs_photom} sources")
+        fig.colorbar(im, ax=ax, label="asinh((ADU - bg)/sigma)")
+        fig.savefig(path, dpi=120, bbox_inches="tight")
+        plt.close(fig)
+        logger.info(f"Wrote detection plot to {path}")
+
+    def plot_fits(self, path: str, max_stars: int = 25) -> None:
+        """Grid of PSF-fit cutouts (reference _plot_fits,
+        core/ApMeasureStars.py:624-751 — 5x5 subplot grid)."""
+        if self._psf is None:
+            raise RuntimeError("run measure_fwhm() before plot_fits()")
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        data = np.asarray(self._data)
+        v = np.asarray(self._psf.valid)
+        idx = np.where(v)[0][:max_stars]
+        ncols = 5
+        nrows = max(1, (len(idx) + ncols - 1) // ncols)
+        fig, axes = plt.subplots(nrows, ncols,
+                                 figsize=(2.2 * ncols, 2.2 * nrows))
+        axes = np.atleast_2d(axes)
+        box = max(12, 2 * int(3 * self._search_fwhm))
+        half = box // 2
+        h, w = data.shape
+        for k, i in enumerate(idx):
+            ax = axes[k // ncols, k % ncols]
+            cx = int(round(float(np.asarray(self._psf.x0)[i])))
+            cy = int(round(float(np.asarray(self._psf.y0)[i])))
+            y0 = min(max(cy - half, 0), h - box)
+            x0 = min(max(cx - half, 0), w - box)
+            ax.imshow(data[y0:y0 + box, x0:x0 + box], origin="lower",
+                      cmap="viridis")
+            fx = float(np.asarray(self._psf.fwhm_x)[i])
+            fy = float(np.asarray(self._psf.fwhm_y)[i])
+            ax.set_title(f"{fx:.2f}x{fy:.2f} px", fontsize=7)
+            ax.set_xticks([])
+            ax.set_yticks([])
+        for k in range(len(idx), nrows * ncols):
+            axes[k // ncols, k % ncols].axis("off")
+        fig.suptitle("PSF fit cutouts (FWHM x by y)")
+        fig.savefig(path, dpi=120, bbox_inches="tight")
+        plt.close(fig)
+        logger.info(f"Wrote PSF fit plot to {path}")
+
     # -- accessors ---------------------------------------------------------
     @property
     def table(self) -> Dict[str, np.ndarray]:
