@@ -21,16 +21,12 @@ import time
 import numpy as np
 
 
-def main() -> int:
+def _attempt(n_frames: int, size: int, repeats: int) -> dict:
     import jax
     import jax.numpy as jnp
 
     from astrophotography_tpu.models import PipelineConfig, calibrate_register_stack
     from astrophotography_tpu import synth
-
-    n_frames = int(os.environ.get("BENCH_FRAMES", "40"))
-    size = int(os.environ.get("BENCH_SIZE", "2048"))
-    repeats = int(os.environ.get("BENCH_REPEATS", "3"))
 
     rng = np.random.default_rng(0)
 
@@ -84,15 +80,38 @@ def main() -> int:
         times.append(time.perf_counter() - t0)
     best = min(times)
     gpix = n_frames * size * size / best / 1e9
-    result = {
+    return {
         "metric": f"calibrate+register+stack GPix/s ({n_frames}x{size}^2, "
                   f"{jax.devices()[0].device_kind})",
         "value": round(gpix, 3),
         "unit": "GPix/s",
         "vs_baseline": round(gpix / 5.0, 3),
     }
-    print(json.dumps(result))
-    return 0
+
+
+def main() -> int:
+    repeats = int(os.environ.get("BENCH_REPEATS", "3"))
+    if "BENCH_FRAMES" in os.environ or "BENCH_SIZE" in os.environ:
+        ladder = [(int(os.environ.get("BENCH_FRAMES", "40")),
+                   int(os.environ.get("BENCH_SIZE", "2048")))]
+    else:
+        # fall back to smaller configs on OOM or other device failures so
+        # the driver always records a number
+        ladder = [(40, 2048), (24, 2048), (16, 2048), (16, 1024), (8, 1024)]
+    last_err = None
+    for n_frames, size in ladder:
+        try:
+            result = _attempt(n_frames, size, repeats)
+            print(json.dumps(result))
+            return 0
+        except Exception as exc:  # OOM, compile failure, ...
+            last_err = exc
+            print(f"# bench config {n_frames}x{size}^2 failed: "
+                  f"{type(exc).__name__}: {exc}", file=sys.stderr)
+    print(json.dumps({"metric": "calibrate+register+stack GPix/s",
+                      "value": 0.0, "unit": "GPix/s", "vs_baseline": 0.0,
+                      "error": str(last_err)}))
+    return 1
 
 
 if __name__ == "__main__":
