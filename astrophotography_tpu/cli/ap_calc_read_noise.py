@@ -29,13 +29,16 @@ def parse(argv: Optional[List[str]]) -> argparse.Namespace:
                    help="header keyword for gain (default GAIN)")
     p.add_argument("--sigma", type=float, default=3.0,
                    help="sigma clip for the difference image (default 3)")
+    p.add_argument("--plot", default=None,
+                   help="write a difference-histogram plot (PNG) here")
     add_loglevel(p)
     return p.parse_args(argv)
 
 
 def run(ns: argparse.Namespace) -> None:
     result = calc_read_noise(ns.bias1, ns.bias2, gain=ns.gain,
-                             gain_keyword=ns.gain_keyword, sigma=ns.sigma)
+                             gain_keyword=ns.gain_keyword, sigma=ns.sigma,
+                             plot_path=ns.plot)
     print(f"READ_NOISE= {result['read_noise_e']:.4f} e- "
           f"(gain {result['gain']:.3f} e-/ADU, "
           f"sigma_diff {result['diff_sigma_adu']:.4f} ADU)")

@@ -40,6 +40,10 @@ def parse(argv: Optional[List[str]]) -> argparse.Namespace:
     p.add_argument("--stack_sigma", type=float, default=5.0)
     p.add_argument("--stack_combine", default="average",
                    choices=["average", "median", "sum"])
+    p.add_argument("--watch", type=float, default=None, metavar="SECONDS",
+                   help="run continuously: rescan the data directory every "
+                        "SECONDS and reduce new frames (noclean skips "
+                        "completed work)")
     add_loglevel(p)
     return p.parse_args(argv)
 
@@ -55,7 +59,21 @@ def run(ns: argparse.Namespace) -> None:
         noclean=not ns.clean,
         quality=not ns.no_quality,
         stack=not ns.no_stack)
-    reduce_all(ns.datadir, ns.caldir, ns.outdir, cfg)
+    if ns.watch is None:
+        reduce_all(ns.datadir, ns.caldir, ns.outdir, cfg)
+        return
+    # continuous mode: incoming frames are reduced as they appear; the
+    # skip-existing idempotency makes each sweep incremental
+    import time as _time
+
+    from ..utils.logger import logger as _log
+
+    while True:
+        try:
+            reduce_all(ns.datadir, ns.caldir, ns.outdir, cfg)
+        except RuntimeError as exc:
+            _log.warning(f"watch sweep: {exc}")
+        _time.sleep(ns.watch)
 
 
 main = cli_main(run, parse)

@@ -141,6 +141,7 @@ def calc_read_noise(
     gain: Optional[float] = None,
     gain_keyword: str = "GAIN",
     sigma: float = 3.0,
+    plot_path: Optional[str] = None,
 ) -> Dict[str, float]:
     """Read noise from two bias frames: RN = gain * sigma(B1-B2) / sqrt(2)
     (reference scripts/ap_calc_read_noise.py:371-383,552-554, Howell's
@@ -170,5 +171,36 @@ def calc_read_noise(
     rn = float(gain) * float(std) / np.sqrt(2.0)
     logger.info(f"Read noise: {rn:.3f} e- (gain {gain} e-/ADU, "
                 f"sigma(diff) {float(std):.3f} ADU)")
+    if plot_path:
+        _plot_diff_histogram(np.asarray(diff), float(std), rn, plot_path)
     return {"read_noise_e": rn, "gain": float(gain),
             "diff_sigma_adu": float(std)}
+
+
+def _plot_diff_histogram(diff: np.ndarray, std_adu: float, rn_e: float,
+                         path: str) -> None:
+    """Bias-difference histogram with a Gaussian overlay (reference
+    ap_calc_read_noise difference plot, scripts/ap_calc_read_noise.py:571-632)."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    flat = diff.ravel()
+    lim = 6 * std_adu
+    sel = flat[(flat > -lim) & (flat < lim)]
+    fig, ax = plt.subplots(figsize=(7, 5))
+    n, bins, _ = ax.hist(sel, bins=100, density=True, alpha=0.6,
+                         label="bias1 - bias2")
+    centers = 0.5 * (bins[:-1] + bins[1:])
+    mu = float(np.mean(sel))
+    gauss = (np.exp(-0.5 * ((centers - mu) / std_adu) ** 2)
+             / (std_adu * np.sqrt(2 * np.pi)))
+    ax.plot(centers, gauss, "r-",
+            label=f"Gaussian sigma={std_adu:.2f} ADU")
+    ax.set_xlabel("difference [ADU]")
+    ax.set_ylabel("density")
+    ax.set_title(f"Read noise {rn_e:.2f} e-")
+    ax.legend()
+    fig.savefig(path, dpi=120, bbox_inches="tight")
+    plt.close(fig)
+    logger.info(f"Wrote difference histogram to {path}")
