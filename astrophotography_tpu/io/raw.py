@@ -520,6 +520,25 @@ def load_fits_mosaic(path: str) -> RawImage:
     )
 
 
+def load_rawpy(path: str) -> RawImage:
+    """Optional rawpy/LibRaw loader for camera formats outside the
+    native parsers (CR3/NEF/ARW...).  Only used when rawpy happens to
+    be installed; the native DNG/CR2 path needs no third-party code."""
+    import rawpy  # optional dependency
+
+    with rawpy.imread(path) as raw:
+        mosaic = np.ascontiguousarray(raw.raw_image_visible).astype(np.uint16)
+        color_map = np.ascontiguousarray(raw.raw_colors_visible).astype(
+            np.uint8)
+        blacks = np.asarray(raw.black_level_per_channel, dtype=np.float64)
+        cam_wb = normalize_wb(list(raw.camera_whitebalance))
+        day_wb = normalize_wb(list(raw.daylight_whitebalance))
+        white = float(raw.white_level)
+    return RawImage(mosaic=mosaic, color_map=color_map, black_levels=blacks,
+                    white_level=white, camera_wb=cam_wb, daylight_wb=day_wb,
+                    exif={})
+
+
 def load_raw(path: str, pattern: str = "RGGB") -> RawImage:
     """Load any supported RAW container by extension/magic."""
     lower = path.lower()
@@ -529,6 +548,14 @@ def load_raw(path: str, pattern: str = "RGGB") -> RawImage:
         return load_pgm(path, pattern)
     if lower.endswith((".dng", ".tif", ".tiff", ".cr2")):
         return load_dng(path)
+    if lower.endswith((".cr3", ".nef", ".arw", ".orf", ".raf", ".rw2")):
+        try:
+            return load_rawpy(path)
+        except ImportError as exc:
+            raise ValueError(
+                f"{path!r}: this camera format needs the optional rawpy "
+                "package (native support covers DNG/TIFF/CR2/PGM/FITS)"
+            ) from exc
     # fall back on magic sniffing
     with open(path, "rb") as fh:
         magic = fh.read(6)

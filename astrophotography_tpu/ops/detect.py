@@ -77,13 +77,21 @@ def daofind_kernel(fwhm: float) -> Tuple[jnp.ndarray, jnp.ndarray, int]:
 
 
 def _conv2d_same(img: jnp.ndarray, kernel: jnp.ndarray) -> jnp.ndarray:
-    """2-D correlation with zero padding, via XLA conv (MXU/VPU path)."""
-    lhs = img[None, None, :, :]
-    rhs = kernel[None, None, :, :]
-    out = jax.lax.conv_general_dilated(
-        lhs, rhs, window_strides=(1, 1), padding="SAME",
-        dimension_numbers=("NCHW", "OIHW", "NCHW"))
-    return out[0, 0]
+    """2-D correlation with zero padding via static shifted adds.
+
+    For the small detection kernels (5x5 - 9x9) this lowers to pure
+    VPU elementwise work that XLA fuses into a handful of HBM passes —
+    measured faster than conv_general_dilated's im2col-style lowering
+    for single-channel images on TPU.
+    """
+    kh, kw = kernel.shape
+    h, w = img.shape
+    padded = jnp.pad(img, ((kh // 2, kh // 2), (kw // 2, kw // 2)))
+    out = jnp.zeros_like(img)
+    for dy in range(kh):
+        for dx in range(kw):
+            out = out + kernel[dy, dx] * padded[dy:dy + h, dx:dx + w]
+    return out
 
 
 @functools.partial(jax.jit, static_argnames=("fwhm", "max_stars", "border"))
