@@ -69,9 +69,18 @@ def classify_light(path: str) -> LightFrame:
 
 
 def scan_lights(datadir: str, pattern: str = "*.fit*") -> List[LightFrame]:
+    """Classify all light frames; unreadable files are skipped with a
+    warning (per-frame error isolation, SURVEY.md §5)."""
     paths = sorted(p for p in glob.glob(os.path.join(datadir, pattern))
                    if os.path.isfile(p))
-    return [classify_light(p) for p in paths]
+    lights: List[LightFrame] = []
+    for p in paths:
+        try:
+            lights.append(classify_light(p))
+        except Exception as exc:
+            logger.error(f"Skipping unreadable frame {p}: "
+                         f"{type(exc).__name__}: {exc}")
+    return lights
 
 
 def group_lights(lights: List[LightFrame]) -> Dict[Tuple[str, str, str],

@@ -1,0 +1,28 @@
+"""Per-frame error isolation in the batch driver (SURVEY.md §5 failure
+detection: one bad file must not kill the run)."""
+
+import os
+
+import numpy as np
+
+from astrophotography_tpu.io.fits import Header, write_image
+from astrophotography_tpu.core.reduce import ReduceConfig, reduce_all
+from tests.test_reduce_composite import _make_dataset
+
+
+def test_corrupt_frame_isolated(tmp_path):
+    datadir, caldir, _ = _make_dataset(tmp_path, n_frames=3)
+    # drop a corrupt "FITS" file into the data directory
+    with open(datadir / "light99.fits", "wb") as fh:
+        fh.write(b"SIMPLE  =                    T" + b"\0" * 100)
+    outdir = tmp_path / "out"
+    cfg = ReduceConfig(quality=False)
+    # classify_light will fail on the corrupt file during scanning; the
+    # driver must either skip it or fail the single frame, not the run
+    try:
+        produced = reduce_all(str(datadir), str(caldir), str(outdir), cfg)
+    except Exception as exc:
+        raise AssertionError(
+            f"one corrupt frame killed the whole run: {exc}")
+    assert len(produced["stacks"]) == 1
+    assert len(produced["calibrated"]) >= 3
