@@ -31,6 +31,8 @@ def parse(argv: Optional[List[str]]) -> argparse.Namespace:
                    help="sigma clip for the difference image (default 3)")
     p.add_argument("--plot", default=None,
                    help="write a difference-histogram plot (PNG) here")
+    p.add_argument("--diffim", default=None,
+                   help="write the bias difference image (FITS) here")
     add_loglevel(p)
     return p.parse_args(argv)
 
@@ -38,7 +40,7 @@ def parse(argv: Optional[List[str]]) -> argparse.Namespace:
 def run(ns: argparse.Namespace) -> None:
     result = calc_read_noise(ns.bias1, ns.bias2, gain=ns.gain,
                              gain_keyword=ns.gain_keyword, sigma=ns.sigma,
-                             plot_path=ns.plot)
+                             plot_path=ns.plot, diffim_path=ns.diffim)
     print(f"READ_NOISE= {result['read_noise_e']:.4f} e- "
           f"(gain {result['gain']:.3f} e-/ADU, "
           f"sigma_diff {result['diff_sigma_adu']:.4f} ADU)")

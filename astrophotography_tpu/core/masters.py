@@ -142,6 +142,7 @@ def calc_read_noise(
     gain_keyword: str = "GAIN",
     sigma: float = 3.0,
     plot_path: Optional[str] = None,
+    diffim_path: Optional[str] = None,
 ) -> Dict[str, float]:
     """Read noise from two bias frames: RN = gain * sigma(B1-B2) / sqrt(2)
     (reference scripts/ap_calc_read_noise.py:371-383,552-554, Howell's
@@ -173,6 +174,12 @@ def calc_read_noise(
                 f"sigma(diff) {float(std):.3f} ADU)")
     if plot_path:
         _plot_diff_histogram(np.asarray(diff), float(std), rn, plot_path)
+    if diffim_path:
+        dhdr = Header()
+        dhdr["IMAGETYP"] = ("BIASDIFF", "Bias difference image")
+        dhdr["RDNOISE"] = (rn, "[e-] Estimated read noise")
+        write_image(diffim_path, np.asarray(diff), dhdr)
+        logger.info(f"Wrote difference image to {diffim_path}")
     return {"read_noise_e": rn, "gain": float(gain),
             "diff_sigma_adu": float(std)}
 
