@@ -49,6 +49,9 @@ class PipelineConfig:
     #: 'separable' = gather-free two-pass Lanczos3 (TPU fast path),
     #: 'lanczos3' = direct 6x6 gather kernel, 'bilinear' = cheap preview
     interp: str = "separable"
+    #: shift budget of the separable warp: 12 covers the rotations of
+    #: dithered same-rig stacks (~0.1 deg at 2k); raise for mosaics
+    warp_span: int = 12
     dark_still_biased: bool = True
     #: number of horizontal bands the warp+combine streams over.  1 =
     #: whole-stack at once (fastest when it fits); larger values bound
@@ -143,9 +146,12 @@ def calibrate_register_stack(
     matrices = jax.vmap(lambda i: jax.tree_util.tree_map(
         lambda a: a[i], sims).matrix())(jnp.arange(n))
 
-    warp = {"separable": warp_affine_separable,
-            "lanczos3": warp_affine_lanczos3,
-            "bilinear": warp_affine_bilinear}[config.interp]
+    if config.interp == "separable":
+        warp = functools.partial(warp_affine_separable,
+                                 span=config.warp_span)
+    else:
+        warp = {"lanczos3": warp_affine_lanczos3,
+                "bilinear": warp_affine_bilinear}[config.interp]
 
     def warp_and_combine(band_matrices, band_h):
         """Warp every frame onto one output band and combine it."""
