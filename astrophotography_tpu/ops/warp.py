@@ -33,7 +33,6 @@ def _lanczos_weights(frac: jnp.ndarray, a: int = LANCZOS_A) -> jnp.ndarray:
     """
     offsets = jnp.arange(-a + 1, a + 1, dtype=jnp.float32)  # (2a,)
     x = frac[..., None] - offsets  # distance to each tap
-    pix = jnp.pi * x
     eps = 1e-6
     safe = jnp.where(jnp.abs(x) < eps, 1.0, x)
     sinc = jnp.where(
