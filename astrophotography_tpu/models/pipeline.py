@@ -59,8 +59,11 @@ class PipelineConfig:
     #: (N, H, W) temporaries — required for 100x16-Mpix stacks.
     n_bands: int = 1
     #: detection across frames: 'vmap' (parallel, one density stack) or
-    #: 'scan' (sequential per frame, constant memory)
+    #: 'chunked' (lax.map over chunks of detect_chunk frames with an
+    #: inner vmap — bounds memory without per-frame dispatch overhead;
+    #: plain per-frame scan measured pathologically slow on TPU)
     detect_mode: str = "vmap"
+    detect_chunk: int = 8
 
 
 @jax.jit
@@ -119,8 +122,17 @@ def calibrate_register_stack(
                           threshold=config.detect_nsigma * s,
                           max_stars=config.max_stars)
 
-    if config.detect_mode == "scan":
-        stars = jax.lax.map(lambda args: detect(*args), (cal, center, std))
+    if config.detect_mode == "chunked" and n > config.detect_chunk:
+        c = config.detect_chunk
+        if n % c:
+            raise ValueError(f"frame count {n} not divisible by "
+                             f"detect_chunk {c}")
+        chunked = (cal.reshape(n // c, c, h, w),
+                   center.reshape(n // c, c), std.reshape(n // c, c))
+        stars = jax.lax.map(
+            lambda args: jax.vmap(detect)(*args), chunked)
+        stars = jax.tree_util.tree_map(
+            lambda a: a.reshape((n,) + a.shape[2:]), stars)
     else:
         stars = jax.vmap(detect)(cal, center, std)
 

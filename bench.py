@@ -57,10 +57,10 @@ def _attempt(n_frames: int, size: int, repeats: int) -> dict:
         n_bands = 1
         while n_bands < band_target and size % (n_bands * 2) == 0:
             n_bands *= 2
+    use_chunks = (n_frames * size * size > 2 ** 27 and n_frames % 8 == 0)
     cfg = PipelineConfig(max_stars=48, match_k=10, interp="separable",
                          n_bands=n_bands,
-                         detect_mode="scan" if n_frames * size * size > 2 ** 26
-                         else "vmap")
+                         detect_mode="chunked" if use_chunks else "vmap")
     frames_d = jnp.asarray(frames)
     bias_d = jnp.asarray(bias)
 

@@ -12,7 +12,7 @@ def test_banded_matches_unbanded():
                                               seed=5)
     base = dict(max_stars=32, match_k=10, detect_nsigma=7.0)
     cfg1 = PipelineConfig(**base, n_bands=1)
-    cfg2 = PipelineConfig(**base, n_bands=4, detect_mode="scan")
+    cfg2 = PipelineConfig(**base, n_bands=4, detect_mode="chunked", detect_chunk=2)
     s1, d1 = calibrate_register_stack(jnp.asarray(frames), config=cfg1)
     s2, d2 = calibrate_register_stack(jnp.asarray(frames), config=cfg2)
     a1, a2 = np.asarray(s1), np.asarray(s2)
