@@ -139,6 +139,29 @@ def test_astrometry_solve_with_mock_transport(tmp_path):
     np.testing.assert_allclose(xy["dec"], dec_want, atol=1e-6)
 
 
+def test_astrometry_solve_failure_returns_none(tmp_path):
+    from astrophotography_tpu.io.fits import (BinTableHDU, HDUList, ImageHDU,
+                                              write_image)
+
+    img_path = str(tmp_path / "img.fits")
+    write_image(img_path, np.zeros((64, 64), np.float32))
+    src_path = str(tmp_path / "src.fits")
+    hdr = Header()
+    hdr["APRX_RA"] = 10.0
+    hdr["APRX_DEC"] = 20.0
+    HDUList([ImageHDU(None, hdr),
+             BinTableHDU({"X": np.array([1.0]), "Y": np.array([2.0])},
+                         name="AP_XYPOS")]).writeto(src_path)
+    ast = Astrometry(transport=lambda *a, **k: None)
+    out = str(tmp_path / "o.fits")
+    assert ast.solve(img_path, src_path, out) is None
+    import os
+    assert not os.path.exists(out)
+    # no transport configured -> clear error
+    with pytest.raises(RuntimeError):
+        Astrometry(transport=None).solve(img_path, src_path, out)
+
+
 def test_solve_from_reference_registration():
     from astrophotography_tpu.ops.register import Similarity
     import jax.numpy as jnp
