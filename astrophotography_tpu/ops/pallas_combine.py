@@ -67,7 +67,8 @@ def _masked_median_rows(rows: List[jnp.ndarray], count: jnp.ndarray):
 def _combine_kernel(sigma_lo: float, sigma_hi: float, n: int,
                     stack_ref, mask_ref, out_ref):
     frames = [stack_ref[i] for i in range(n)]
-    valid = [mask_ref[i] for i in range(n)]
+    # mask arrives as float32 (bool blocks trip the Mosaic tiler)
+    valid = [mask_ref[i] > 0.5 for i in range(n)]
     big = jnp.float32(3.4e38)
     count = functools.reduce(
         lambda a, b: a + b, [v.astype(jnp.float32) for v in valid])
@@ -115,7 +116,9 @@ def pallas_sigma_clip_combine(
     stack = stack.astype(jnp.float32)
     n, h, w = stack.shape
     if mask is None:
-        mask = jnp.ones(stack.shape, bool)
+        mask = jnp.ones(stack.shape, jnp.float32)
+    else:
+        mask = mask.astype(jnp.float32)
     th, tw = tile
     ph = (-h) % th
     pw = (-w) % tw
