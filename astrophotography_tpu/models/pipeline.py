@@ -46,6 +46,9 @@ class PipelineConfig:
     sigma_lower: float = 5.0
     sigma_upper: float = 5.0
     combine: str = "average"
+    #: 'xla' (fused two-sort path) or 'pallas' (single-HBM-pass kernel;
+    #: only for combine='average')
+    combine_impl: str = "xla"
     #: 'separable' = gather-free two-pass Lanczos3 (TPU fast path),
     #: 'lanczos3' = direct 6x6 gather kernel, 'bilinear' = cheap preview
     interp: str = "separable"
@@ -171,6 +174,14 @@ def calibrate_register_stack(
         def one_band(mats):
             warped, weights = jax.vmap(
                 lambda f, m: warp(f, m, (band_h, w)))(cal, mats)
+            if config.combine_impl == "pallas" and config.combine == "average":
+                from ..ops.pallas_combine import pallas_sigma_clip_combine
+
+                out = pallas_sigma_clip_combine(
+                    warped, mask=(weights > 0.5).astype(jnp.float32),
+                    sigma_lower=config.sigma_lower,
+                    sigma_upper=config.sigma_upper)
+                return jnp.where(jnp.isnan(out), 0.0, out)
             return sigma_clip_combine(
                 warped, mask=weights > 0.5,
                 sigma_lower=config.sigma_lower,

@@ -51,16 +51,15 @@ def _attempt(n_frames: int, size: int, repeats: int) -> dict:
 
     n_bands = int(os.environ.get("BENCH_BANDS", "0"))
     if n_bands == 0:
-        # keep peak HBM near (stack + few bands): aim bands so that one
-        # band's warped stack is ~256 MB
-        band_target = max(1, (n_frames * size * size * 4) // (64 << 20))
+        # unbanded is fastest (each band costs an extra device dispatch);
+        # band only when the ~7 stack-sized temporaries would overflow HBM
+        peak_bytes = n_frames * size * size * 4 * 7
+        budget = 12e9
         n_bands = 1
-        while n_bands < band_target and size % (n_bands * 2) == 0:
+        while peak_bytes / n_bands > budget and size % (n_bands * 2) == 0:
             n_bands *= 2
-    use_chunks = (n_frames * size * size > 2 ** 27 and n_frames % 8 == 0)
     cfg = PipelineConfig(max_stars=48, match_k=10, interp="separable",
-                         n_bands=n_bands,
-                         detect_mode="chunked" if use_chunks else "vmap")
+                         n_bands=n_bands, detect_mode="vmap")
     frames_d = jnp.asarray(frames)
     bias_d = jnp.asarray(bias)
 
