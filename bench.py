@@ -95,8 +95,9 @@ def main() -> int:
                    int(os.environ.get("BENCH_SIZE", "2048")))]
     else:
         # fall back to smaller configs on OOM or other device failures so
-        # the driver always records a number
-        ladder = [(40, 2048), (24, 2048), (16, 2048), (16, 1024), (8, 1024)]
+        # the driver always records a number; the lead config uses the
+        # reference's 16-Mpix frame geometry (BASELINE.md)
+        ladder = [(24, 4096), (40, 2048), (16, 2048), (16, 1024), (8, 1024)]
     last_err = None
     for n_frames, size in ladder:
         try:
