@@ -162,8 +162,12 @@ def calibrate_register_stack(
         lambda a: a[i], sims).matrix())(jnp.arange(n))
 
     if config.interp == "separable":
+        # analytic coverage: the stacking path masks coverage<0.5 anyway,
+        # so skipping the warped ones-channel halves warp work at the
+        # cost of a few excluded border pixels
         warp = functools.partial(warp_affine_separable,
-                                 span=config.warp_span)
+                                 span=config.warp_span,
+                                 analytic_coverage=True)
     else:
         warp = {"lanczos3": warp_affine_lanczos3,
                 "bilinear": warp_affine_bilinear}[config.interp]
@@ -182,11 +186,14 @@ def calibrate_register_stack(
                     sigma_lower=config.sigma_lower,
                     sigma_upper=config.sigma_upper)
                 return jnp.where(jnp.isnan(out), 0.0, out)
-            return sigma_clip_combine(
+            out = sigma_clip_combine(
                 warped, mask=weights > 0.5,
                 sigma_lower=config.sigma_lower,
                 sigma_upper=config.sigma_upper,
                 method=config.combine)
+            # border pixels covered by no frame are 0 (swarp weight-map
+            # semantics), not NaN
+            return jnp.where(jnp.isnan(out), 0.0, out)
 
         return one_band(band_matrices)
 

@@ -104,7 +104,10 @@ def pallas_sigma_clip_combine(
     mask: Optional[jnp.ndarray] = None,
     sigma_lower: float = 5.0,
     sigma_upper: float = 5.0,
-    tile: Tuple[int, int] = (256, 256),
+    #: (128, 128) keeps the double-buffered (N, th, tw) blocks inside
+    #: VMEM for stacks up to ~100 frames; larger tiles overflow and
+    #: crash the Mosaic compiler
+    tile: Tuple[int, int] = (128, 128),
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Single-HBM-pass sigma-clipped average over axis 0.

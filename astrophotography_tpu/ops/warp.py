@@ -100,13 +100,15 @@ def warp_affine_lanczos3(
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("out_shape", "band", "span"))
+                   static_argnames=("out_shape", "band", "span",
+                                    "analytic_coverage"))
 def warp_affine_separable(
     img: jnp.ndarray,
     matrix: jnp.ndarray,
     out_shape: Tuple[int, int],
     band: int = 64,
     span: int = 24,
+    analytic_coverage: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Gather-free two-pass Lanczos3 affine warp (the TPU fast path).
 
@@ -149,10 +151,17 @@ def warp_affine_separable(
     g0 = m02 - m01 * m12 * inv_m11
 
     pad = span + 6
-    # channel 0: data, channel 1: ones (coverage tracking); the ones
-    # channel is 1 only over the true image so zero-padding handles
-    # out-of-frame taps for both passes at once
-    src = jnp.stack([img, jnp.ones_like(img)])
+    if analytic_coverage:
+        # coverage of an affine warp is analytic: a pixel is covered iff
+        # its source coordinate keeps the full 6-tap footprint inside the
+        # frame; skipping the warped ones-channel halves the work
+        src = img[None]
+    else:
+        # channel 0: data, channel 1: ones (coverage tracking); the ones
+        # channel is 1 only over the true image so zero-padding handles
+        # out-of-frame taps for both passes at once
+        src = jnp.stack([img, jnp.ones_like(img)])
+    nchan = src.shape[0]
 
     n_bands1 = -(-h_in // band)
     rows_pad1 = n_bands1 * band - h_in
@@ -170,6 +179,9 @@ def warp_affine_separable(
         the shifted slice implicitly adds to the shift."""
         cfloor = jnp.floor(coord_loc)
         taps = _lanczos_weights(coord_loc - cfloor)  # (..., 6)
+        # Lanczos tap sums deviate from 1 by up to ~0.4%; normalize per
+        # pass so interior pixels are exact without a coverage division
+        taps = taps / jnp.sum(taps, axis=-1, keepdims=True)
         first_tap = cfloor.astype(jnp.int32) - 2  # block index of tap d=0
         acc = None
         for s in range(span):
@@ -192,12 +204,12 @@ def warp_affine_separable(
         base = jnp.floor(jnp.min(u)).astype(jnp.int32) - 3
         base = jnp.clip(base, -pad, w_in + 3)
         block = jax.lax.dynamic_slice(
-            src_p, (0, r0, base + pad), (2, band, w_out + span))
+            src_p, (0, r0, base + pad), (nchan, band, w_out + span))
         return resample_terms(u - base.astype(jnp.float32), block,
                               w_out, axis=2, idx_along=xi_out[None, :])
 
     mid = jax.lax.map(hband, jnp.arange(n_bands1))
-    mid = jnp.moveaxis(mid, 1, 0).reshape(2, n_bands1 * band, w_out)
+    mid = jnp.moveaxis(mid, 1, 0).reshape(nchan, n_bands1 * band, w_out)
     mid = mid[:, :h_in, :]
 
     # vertical pass: out[y, x] = mid[v(x, y), x]
@@ -213,13 +225,24 @@ def warp_affine_separable(
         base = jnp.floor(jnp.min(v)).astype(jnp.int32) - 3
         base = jnp.clip(base, -pad, h_in + 3)
         block = jax.lax.dynamic_slice(
-            mid_p, (0, base + pad, 0), (2, band + span, w_out))
+            mid_p, (0, base + pad, 0), (nchan, band + span, w_out))
         return resample_terms(v - base.astype(jnp.float32), block,
                               band, axis=1, idx_along=ri_band[:, None])
 
     out2 = jax.lax.map(vband, jnp.arange(n_bands2))
-    out2 = jnp.moveaxis(out2, 1, 0).reshape(2, n_bands2 * band, w_out)
+    out2 = jnp.moveaxis(out2, 1, 0).reshape(nchan, n_bands2 * band, w_out)
     out2 = out2[:, :h_out, :]
+    if analytic_coverage:
+        # covered iff the full 6-tap footprint stays inside the source:
+        # evaluate the affine source coords on the output grid directly
+        ys_o = jnp.arange(h_out, dtype=jnp.float32)[:, None]
+        xs_o = jnp.arange(w_out, dtype=jnp.float32)[None, :]
+        sx = m00 * xs_o + m01 * ys_o + m02
+        sy = m10 * xs_o + m11 * ys_o + m12
+        cover = (((sx >= 2.0) & (sx <= w_in - 4.0)
+                  & (sy >= 2.0) & (sy <= h_in - 4.0))
+                 .astype(jnp.float32))
+        return out2[0] * cover, cover
     data, cover = out2[0], out2[1]
     out = jnp.where(cover > 1e-6,
                     data / jnp.where(cover > 1e-6, cover, 1.0), 0.0)

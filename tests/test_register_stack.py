@@ -161,7 +161,9 @@ def test_full_pipeline_registers_and_stacks():
             matched += 1
     assert matched == len(bx)
     # noise in the stack is ~sqrt(N) lower than per-frame noise
-    assert np.std(stacked[:40, :40] - np.median(stacked[:40, :40])) < 10.0
+    # (interior region: the few border pixels covered by no frame are 0)
+    region = stacked[12:40, 12:40]
+    assert np.std(region - np.median(region)) < 10.0
 
 
 def test_pipeline_with_calibration_masters():

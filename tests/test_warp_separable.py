@@ -73,6 +73,23 @@ def test_separable_star_position_and_flux():
     assert out.sum() == pytest.approx(img.sum(), rel=2e-3)
 
 
+def test_separable_analytic_coverage():
+    """Analytic coverage: interior matches the warped-ones mode, a thin
+    border is excluded (cover=0)."""
+    img = _scene()
+    m = jnp.asarray([[1.0, 0.0, 4.3], [0.0, 1.0, -2.1]], jnp.float32)
+    out_a, cov_a = warp_affine_separable(img, m, img.shape,
+                                         analytic_coverage=True)
+    out_w, cov_w = warp_affine_separable(img, m, img.shape)
+    cov_a = np.asarray(cov_a)
+    inner = cov_a > 0.5
+    np.testing.assert_allclose(np.asarray(out_a)[inner],
+                               np.asarray(out_w)[inner], rtol=1e-4, atol=0.5)
+    # borders excluded where the tap footprint crosses the frame edge
+    assert cov_a[0, 0] == 0.0
+    assert cov_a[50, 60] == 1.0
+
+
 def test_separable_coverage_borders():
     img = np.ones((64, 64), np.float32) * 100.0
     m = jnp.asarray([[1.0, 0.0, 20.0], [0.0, 1.0, 0.0]], jnp.float32)
