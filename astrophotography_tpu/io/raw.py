@@ -59,6 +59,7 @@ _TAG_BLACK_LEVEL_REPEAT = 50713
 _TAG_BLACK_LEVEL = 50714
 _TAG_WHITE_LEVEL = 50717
 _TAG_AS_SHOT_NEUTRAL = 50728
+_TAG_CR2_SLICE = 50752  # Canon 0xc640: [n_extra_slices, width, last_width]
 
 _PHOTOMETRIC_CFA = 32803
 
@@ -292,6 +293,9 @@ def load_dng(path: str) -> RawImage:
         from .losslessjpeg import decode_lossless_jpeg  # native decoder
         payload = b"".join(data[o:o + c] for o, c in zip(offsets, counts))
         mosaic = decode_lossless_jpeg(payload, h, w)
+        slice_tag = ifd.get(_TAG_CR2_SLICE)
+        if slice_tag is not None:
+            mosaic = _unslice_cr2(mosaic, _as_list(slice_tag), h, w)
     else:
         raise ValueError(f"{path!r}: unsupported TIFF compression {compression}")
     color_map = _cfa_color_map((h, w), ifd)
@@ -307,6 +311,31 @@ def load_dng(path: str) -> RawImage:
     return RawImage(mosaic=mosaic, color_map=color_map, black_levels=black,
                     white_level=white, camera_wb=cam_wb,
                     daylight_wb=cam_wb.copy(), exif=exif)
+
+
+def _unslice_cr2(decoded: np.ndarray, slice_tag, h: int, w: int) -> np.ndarray:
+    """Undo Canon CR2 vertical slicing (tag 0xc640).
+
+    The entropy-coded stream fills vertical slices left to right: the
+    first ``n`` slices have ``width`` columns, the last has
+    ``last_width``; within a slice samples are row-major.  The decoder
+    returns the stream reshaped (h, w); re-gather columns per slice.
+    """
+    n_extra, width, last_width = (int(v) for v in slice_tag[:3])
+    widths = [width] * n_extra + [last_width]
+    if sum(widths) != w:
+        raise ValueError(
+            f"CR2 slice widths {widths} do not sum to width {w}")
+    flat = decoded.reshape(-1)
+    out = np.empty((h, w), dtype=decoded.dtype)
+    pos = 0
+    col = 0
+    for ws in widths:
+        block = flat[pos:pos + h * ws].reshape(h, ws)
+        out[:, col:col + ws] = block
+        pos += h * ws
+        col += ws
+    return out
 
 
 def _unpack_bits(payload: bytes, bits: int, h: int, w: int) -> np.ndarray:

@@ -91,6 +91,25 @@ def test_load_raw_dispatch(tmp_path):
         load_raw(bad)
 
 
+def test_cr2_unslice():
+    from astrophotography_tpu.io.raw import _unslice_cr2
+
+    h, w = 8, 10
+    truth = np.arange(h * w, dtype=np.uint16).reshape(h, w)
+    # build the sliced stream: slices of widths [4, 4, 2]
+    widths = [4, 4, 2]
+    parts = []
+    col = 0
+    for ws in widths:
+        parts.append(truth[:, col:col + ws].reshape(-1))
+        col += ws
+    stream = np.concatenate(parts).reshape(h, w)
+    back = _unslice_cr2(stream, [2, 4, 2], h, w)
+    np.testing.assert_array_equal(back, truth)
+    with pytest.raises(ValueError):
+        _unslice_cr2(stream, [2, 4, 5], h, w)
+
+
 def test_normalize_wb():
     np.testing.assert_allclose(normalize_wb([2000, 1000, 3000, 1000]),
                                [2.0, 1.0, 3.0, 1.0])
