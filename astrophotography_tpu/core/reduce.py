@@ -146,8 +146,10 @@ def reduce_all(
     import jax.numpy as jnp
 
     from ..models.pipeline import PipelineConfig, calibrate_register_stack
+    from ..utils.timing import StageTimer
     from .star_finder import StarFinder
 
+    timer = StageTimer()
     os.makedirs(outdir, exist_ok=True)
     produced: Dict[str, List[str]] = {"calibrated": [], "quality": [],
                                       "stacks": []}
@@ -175,10 +177,11 @@ def reduce_all(
                 status.append((lf.path, "skipped"))
             else:
                 try:
-                    cal.calibrate(lf.path, out_path,
-                                  fix_cosmic=config.fixcosmic)
-                    if config.skybg:
-                        _subtract_skybg(out_path)
+                    with timer.stage(f"calibrate {base}"):
+                        cal.calibrate(lf.path, out_path,
+                                      fix_cosmic=config.fixcosmic)
+                        if config.skybg:
+                            _subtract_skybg(out_path)
                     status.append((lf.path, "calibrated"))
                 except Exception as exc:
                     logger.error(f"Calibration failed for {lf.path}: {exc}")
@@ -236,10 +239,12 @@ def reduce_all(
                 scales = np.asarray([exps[0] / e if e else 1.0
                                      for e in exps], np.float32)
                 t0 = time.perf_counter()
-                stacked, diag = calibrate_register_stack(
-                    jnp.asarray(stack),
-                    flux_scales=jnp.asarray(scales), config=pcfg)
-                stacked = np.asarray(stacked)
+                with timer.stage(f"register+stack {stack_name}",
+                                 pixels=stack.size):
+                    stacked, diag = calibrate_register_stack(
+                        jnp.asarray(stack),
+                        flux_scales=jnp.asarray(scales), config=pcfg)
+                    stacked = np.asarray(stacked)
                 dt = time.perf_counter() - t0
                 out_hdr = hdr0.copy() if hdr0 else Header()
                 out_hdr["IMAGETYP"] = ("STACK", "Registered stacked image")
@@ -266,6 +271,8 @@ def reduce_all(
     n_ok = sum(1 for _, s in status if s in ("calibrated", "skipped"))
     logger.info(f"Reduction complete: {n_ok}/{len(status)} frames OK, "
                 f"{len(produced['stacks'])} stacks")
+    if timer.records:
+        logger.info("Stage timings:\n" + timer.report())
     return produced
 
 
