@@ -21,7 +21,8 @@ import time
 import numpy as np
 
 
-def _attempt(n_frames: int, size: int, repeats: int) -> dict:
+def _attempt(n_frames: int, size: int, repeats: int,
+             combine_impl: str = "pallas") -> dict:
     import jax
     import jax.numpy as jnp
 
@@ -59,7 +60,8 @@ def _attempt(n_frames: int, size: int, repeats: int) -> dict:
         while peak_bytes / n_bands > budget and size % (n_bands * 2) == 0:
             n_bands *= 2
     cfg = PipelineConfig(max_stars=48, match_k=10, interp="separable",
-                         n_bands=n_bands, detect_mode="vmap")
+                         n_bands=n_bands, detect_mode="vmap",
+                         combine_impl=combine_impl)
     frames_d = jnp.asarray(frames)
     bias_d = jnp.asarray(bias)
 
@@ -100,14 +102,15 @@ def main() -> int:
         ladder = [(24, 4096), (40, 2048), (16, 2048), (16, 1024), (8, 1024)]
     last_err = None
     for n_frames, size in ladder:
-        try:
-            result = _attempt(n_frames, size, repeats)
-            print(json.dumps(result))
-            return 0
-        except Exception as exc:  # OOM, compile failure, ...
-            last_err = exc
-            print(f"# bench config {n_frames}x{size}^2 failed: "
-                  f"{type(exc).__name__}: {exc}", file=sys.stderr)
+        for impl in ("pallas", "xla"):
+            try:
+                result = _attempt(n_frames, size, repeats, combine_impl=impl)
+                print(json.dumps(result))
+                return 0
+            except Exception as exc:  # OOM, compile failure, ...
+                last_err = exc
+                print(f"# bench config {n_frames}x{size}^2 ({impl}) failed: "
+                      f"{type(exc).__name__}: {exc}", file=sys.stderr)
     print(json.dumps({"metric": "calibrate+register+stack GPix/s",
                       "value": 0.0, "unit": "GPix/s", "vs_baseline": 0.0,
                       "error": str(last_err)}))
