@@ -24,6 +24,32 @@ import jax.numpy as jnp
 
 LANCZOS_A = 3
 
+#: minimax-style polynomial of lanczos3(t) in u = t^2 on [0, 9]
+#: (max abs error 2.8e-6); lets warp weights evaluate without
+#: transcendentals or tap routing
+_L3_POLY = (
+    9.999994525888e-01,
+    -1.827688926461e+00,
+    1.122335944632e+00,
+    -3.557261514981e-01,
+    6.945395735140e-02,
+    -9.185528553885e-03,
+    8.680491817837e-04,
+    -5.970731138175e-05,
+    2.910034981863e-06,
+    -9.078439824764e-08,
+    1.359070044584e-09,
+)
+
+
+def _lanczos3_poly(t: jnp.ndarray) -> jnp.ndarray:
+    """lanczos3 weight via the polynomial in t^2 (zero for |t| >= 3)."""
+    u = t * t
+    acc = jnp.float32(_L3_POLY[-1])
+    for c in _L3_POLY[-2::-1]:
+        acc = acc * u + jnp.float32(c)
+    return jnp.where(u < 9.0, acc, 0.0)
+
 
 def _lanczos_weights(frac: jnp.ndarray, a: int = LANCZOS_A) -> jnp.ndarray:
     """(..., 2a) separable Lanczos weights for tap offsets -a+1 .. a.
@@ -175,27 +201,26 @@ def warp_affine_separable(
     def resample_terms(coord_loc, block, length, axis, idx_along):
         """Accumulate span statically-shifted slices weighted by the
         Lanczos taps of per-pixel coordinate ``coord_loc`` (block-local).
-        ``idx_along``: the output index along the resampled axis, which
-        the shifted slice implicitly adds to the shift."""
-        cfloor = jnp.floor(coord_loc)
-        taps = _lanczos_weights(coord_loc - cfloor)  # (..., 6)
-        # Lanczos tap sums deviate from 1 by up to ~0.4%; normalize per
-        # pass so interior pixels are exact without a coverage division
-        taps = taps / jnp.sum(taps, axis=-1, keepdims=True)
-        first_tap = cfloor.astype(jnp.int32) - 2  # block index of tap d=0
+
+        The weight of shift s at a pixel is simply lanczos3(distance to
+        that absolute block index), evaluated by polynomial — no
+        floor/tap-routing selects, no transcendentals.  Weights are
+        renormalized by their running sum (partition of unity), which
+        also absorbs the poly's 3e-6 truncation error.
+        """
+        idx_f = idx_along.astype(jnp.float32)
         acc = None
+        wsum = None
         for s in range(span):
-            # route the 6 taps to this shift with equality selects —
-            # per-pixel indexing (take_along_axis) would lower to a
-            # gather, which is exactly what this kernel exists to avoid
-            d = idx_along + s - first_tap
-            w = jnp.zeros(d.shape, jnp.float32)
-            for dd in range(6):
-                w = w + jnp.where(d == dd, taps[..., dd], 0.0)
+            t = coord_loc - (idx_f + s)
+            w = _lanczos3_poly(t)
             term = w[None] * jax.lax.dynamic_slice_in_dim(
                 block, s, length, axis=axis)
             acc = term if acc is None else acc + term
-        return acc
+            wsum = w if wsum is None else wsum + w
+        safe = jnp.abs(wsum) > 1e-3
+        return jnp.where(safe[None], acc / jnp.where(safe, wsum, 1.0)[None],
+                         0.0)
 
     def hband(b):
         r0 = b * band
