@@ -104,10 +104,9 @@ def pallas_sigma_clip_combine(
     mask: Optional[jnp.ndarray] = None,
     sigma_lower: float = 5.0,
     sigma_upper: float = 5.0,
-    #: (128, 128) keeps the double-buffered (N, th, tw) blocks inside
-    #: VMEM for stacks up to ~100 frames; larger tiles overflow and
-    #: crash the Mosaic compiler
-    tile: Tuple[int, int] = (128, 128),
+    #: None = auto-size so the double-buffered (N, th, tw) blocks fit
+    #: in VMEM (overflow crashes the Mosaic compiler)
+    tile: Optional[Tuple[int, int]] = None,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Single-HBM-pass sigma-clipped average over axis 0.
@@ -122,6 +121,12 @@ def pallas_sigma_clip_combine(
         mask = jnp.ones(stack.shape, jnp.float32)
     else:
         mask = mask.astype(jnp.float32)
+    if tile is None:
+        # 2 inputs x 2 pipeline buffers x (n*th*tw*4) bytes <= ~10 MB
+        th = 128
+        while th > 8 and n * th * 128 * 4 * 4 > 10 * 2 ** 20:
+            th //= 2
+        tile = (th, 128)
     th, tw = tile
     ph = (-h) % th
     pw = (-w) % tw
