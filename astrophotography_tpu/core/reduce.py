@@ -213,15 +213,18 @@ def reduce_all(
             if config.noclean and os.path.exists(stack_path):
                 logger.info(f"Skipping existing {stack_path}")
             else:
+                # threaded prefetch: decode the stack members on host
+                # threads (parallel/pipeline.py)
+                from ..parallel.pipeline import PrefetchLoader
+
                 frames = []
-                exps = []
+                exps = [lf.exptime for _p, lf in cal_paths]
                 hdr0: Optional[Header] = None
-                for path, lf in cal_paths:
-                    data, hdr = read_image(path)
+                for _path, data, hdr in PrefetchLoader(
+                        [p for p, _lf in cal_paths], depth=4, workers=4):
                     if hdr0 is None:
                         hdr0 = hdr
                     frames.append(data)
-                    exps.append(lf.exptime)
                 shapes = {f.shape for f in frames}
                 if len(shapes) > 1:
                     logger.error(f"Mixed frame shapes in group {stack_name}: "
