@@ -41,14 +41,16 @@ def _attempt(n_frames: int, size: int, repeats: int,
         x0, y0 = int(x) - 12, int(y) - 12
         patch = synth.gaussian_star((25, 25), x - x0, y - y0, f, 3.0)
         base[y0:y0 + 25, x0:x0 + 25] += patch
-    frames = np.empty((n_frames, size, size), np.float32)
+    # frames in uint16, as real detectors deliver them (the pipeline
+    # converts on device; halves the resident input stack)
+    frames = np.empty((n_frames, size, size), np.uint16)
+    bias = np.full((size, size), 300.0, np.float32)
     for i in range(n_frames):
         dx, dy = (rng.uniform(-4, 4, 2) if i else (0.0, 0.0))
         shifted = np.roll(np.roll(base, int(round(dy)), axis=0),
                           int(round(dx)), axis=1)
-        frames[i] = shifted + rng.normal(0, 8.0, (size, size))
-    bias = np.full((size, size), 300.0, np.float32)
-    frames += bias[None]
+        frames[i] = np.clip(shifted + rng.normal(0, 8.0, (size, size))
+                            + bias, 0, 65535).astype(np.uint16)
 
     n_bands = int(os.environ.get("BENCH_BANDS", "0"))
     if n_bands == 0:
