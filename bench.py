@@ -57,7 +57,7 @@ def _attempt(n_frames: int, size: int, repeats: int,
         # unbanded is fastest (each band costs an extra device dispatch);
         # band only when the ~7 stack-sized temporaries would overflow HBM
         peak_bytes = n_frames * size * size * 4 * 7
-        budget = 12e9
+        budget = 8e9
         n_bands = 1
         while peak_bytes / n_bands > budget and size % (n_bands * 2) == 0:
             n_bands *= 2

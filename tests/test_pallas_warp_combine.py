@@ -1,0 +1,66 @@
+"""Fused warp+combine kernel vs the unfused pipeline path
+(interpreter mode on CPU)."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from astrophotography_tpu import synth
+from astrophotography_tpu.ops.pallas_warp_combine import pallas_warp_combine
+from astrophotography_tpu.ops.warp import warp_affine_separable
+from astrophotography_tpu.ops.stack import sigma_clip_combine
+
+
+def _reference(cal, mats, span=12):
+    outs = []
+    covers = []
+    for f in range(cal.shape[0]):
+        o, c = warp_affine_separable(cal[f], mats[f], cal.shape[1:],
+                                     span=span, analytic_coverage=True)
+        outs.append(o)
+        covers.append(c)
+    warped = jnp.stack(outs)
+    weights = jnp.stack(covers)
+    out = sigma_clip_combine(warped, mask=weights > 0.5,
+                             sigma_lower=5.0, sigma_upper=5.0)
+    return np.asarray(jnp.where(jnp.isnan(out), 0.0, out))
+
+
+def _make_inputs(n=5, h=64, w=128, seed=0):
+    rng = np.random.default_rng(seed)
+    base = np.asarray(synth.make_rgb_scene((h, w), seed=seed,
+                                           peak=5000)[..., 0], np.float32)
+    base += synth.gaussian_star((h, w), w * 0.3, h * 0.4, 40000.0,
+                                3.0).astype(np.float32)
+    cal = np.stack([base + rng.normal(0, 3, (h, w)).astype(np.float32)
+                    for _ in range(n)])
+    mats = []
+    for f in range(n):
+        theta = 0.0 if f == 0 else rng.uniform(-0.004, 0.004)
+        tx, ty = (0.0, 0.0) if f == 0 else rng.uniform(-5, 5, 2)
+        c, s = np.cos(theta), np.sin(theta)
+        mats.append([[c, -s, tx], [s, c, ty]])
+    return jnp.asarray(cal), jnp.asarray(np.asarray(mats, np.float32))
+
+
+def test_fused_matches_unfused():
+    cal, mats = _make_inputs()
+    ref = _reference(cal, mats)
+    got = np.asarray(pallas_warp_combine(cal, mats, tile=(32, 64),
+                                         interpret=True))
+    inner = ref != 0.0
+    np.testing.assert_allclose(got[inner], ref[inner], rtol=1e-4, atol=0.5)
+    # zero-coverage borders agree too
+    np.testing.assert_array_equal(got == 0.0, ref == 0.0)
+
+
+def test_fused_rejects_outlier_frame():
+    cal, mats = _make_inputs(n=8, seed=3)
+    cal = np.asarray(cal).copy()
+    cal[3, 30, 50] = 60000.0  # cosmic ray
+    got = np.asarray(pallas_warp_combine(jnp.asarray(cal), mats,
+                                         tile=(32, 64), interpret=True))
+    # identity frame 0: output pixel ~ (30,50); clipped combine stays background
+    region = got[28:34, 46:56]
+    assert region.max() < 6000.0
