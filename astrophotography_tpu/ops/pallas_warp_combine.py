@@ -49,13 +49,17 @@ def _make_kernel(n, th, tw, span, h_in, w_in, pad, sigma_lo, sigma_hi):
         i = pl.program_id(0)
         j = pl.program_id(1)
 
-        rr = jax.lax.broadcasted_iota(jnp.float32, (th, tw), 0)
-        cc = jax.lax.broadcasted_iota(jnp.float32, (th, tw), 1)
+        rr = jax.lax.broadcasted_iota(jnp.int32, (th, tw), 0) \
+            .astype(jnp.float32)
+        cc = jax.lax.broadcasted_iota(jnp.int32, (th, tw), 1) \
+            .astype(jnp.float32)
         y_out = i.astype(jnp.float32) * th + rr
         x_out = j.astype(jnp.float32) * tw + cc
         # block-row/col iotas for the two passes
-        sr = jax.lax.broadcasted_iota(jnp.float32, (bh, tw), 0)
-        sc = jax.lax.broadcasted_iota(jnp.float32, (bh, tw), 1)
+        sr = jax.lax.broadcasted_iota(jnp.int32, (bh, tw), 0) \
+            .astype(jnp.float32)
+        sc = jax.lax.broadcasted_iota(jnp.int32, (bh, tw), 1) \
+            .astype(jnp.float32)
 
         def warp_one(f, _):
             m00 = mats_ref[f, 0]
