@@ -101,11 +101,21 @@ def _make_kernel(n, th, tw, span, h_in, w_in, sigma_lo, sigma_hi):
         u = gx * x_cols + gy * yprime + g0
         u_loc = u - ubase.astype(jnp.float32)
 
+        # dynamic-start VMEM slices do not compile through this remote
+        # Mosaic toolchain; realize the dynamic sub-block shift as a
+        # one-hot selection matmul on the MXU, then slice statically.
+        twp = tw + 128  # aligned width covering tw + span
+        rows_i = jax.lax.broadcasted_iota(jnp.int32, (3 * tw, twp), 0)
+        cols_i = jax.lax.broadcasted_iota(jnp.int32, (3 * tw, twp), 1)
+        p_h = (rows_i == cols_i + offx).astype(jnp.float32)
+        aligned_h = jnp.dot(win_ref[:, :], p_h,
+                            preferred_element_type=jnp.float32)
+
         acc = jnp.zeros((wh, tw), jnp.float32)
         wsum = jnp.zeros((wh, tw), jnp.float32)
         for s in range(span):
             w = _l3(u_loc - (sc + s))
-            acc = acc + w * win_ref[:, pl.ds(offx + s, tw)]
+            acc = acc + w * aligned_h[:, s:s + tw]
             wsum = wsum + w
         safe = jnp.abs(wsum) > 1e-3
         mid_ref[:, :] = jnp.where(safe, acc / jnp.where(safe, wsum, 1.0),
@@ -113,11 +123,21 @@ def _make_kernel(n, th, tw, span, h_in, w_in, sigma_lo, sigma_hi):
 
         v = m10 * x_out + m11 * y_out + m12
         v_loc = v - vbase.astype(jnp.float32)
+        thp = th + span
+        rows_v = jax.lax.broadcasted_iota(jnp.int32, (wh, thp), 0)
+        cols_v = jax.lax.broadcasted_iota(jnp.int32, (wh, thp), 1)
+        p_v = (rows_v == cols_v + offy).astype(jnp.float32)
+        # aligned_v[r', c] = mid[offy + r', c]
+        aligned_v = jax.lax.dot_general(
+            p_v, mid_ref[:, :],
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
         acc2 = jnp.zeros((th, tw), jnp.float32)
         wsum2 = jnp.zeros((th, tw), jnp.float32)
         for s in range(span):
             w = _l3(v_loc - (rr + s))
-            acc2 = acc2 + w * mid_ref[pl.ds(offy + s, th), :]
+            acc2 = acc2 + w * aligned_v[s:s + th, :]
             wsum2 = wsum2 + w
         safe2 = jnp.abs(wsum2) > 1e-3
         warped = jnp.where(safe2, acc2 / jnp.where(safe2, wsum2, 1.0), 0.0)
