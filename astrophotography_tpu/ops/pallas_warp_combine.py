@@ -45,15 +45,56 @@ def _l3(t):
     return jnp.where(u < 9.0, acc, 0.0)
 
 
-def _make_kernel(n, th, tw, span, h_in, w_in, sigma_lo, sigma_hi):
+
+
+def _scalar_bases(mats_ref, f, i, j, th, tw, npi, npj, span):
+    """Per (frame, tile) tap bases and window-origin blocks, computed
+    from the matrix table alone (scalar math; runs in index maps and in
+    the kernel so nothing tile-sized ever occupies SMEM)."""
+    m00 = mats_ref[f, 0]
+    m01 = mats_ref[f, 1]
+    m02 = mats_ref[f, 2]
+    m10 = mats_ref[f, 3]
+    m11 = mats_ref[f, 4]
+    m12 = mats_ref[f, 5]
+    inv_m11 = 1.0 / m11
+    gx = m00 - m01 * m10 * inv_m11
+    gy = m01 * inv_m11
+    g0 = m02 - m01 * m12 * inv_m11
+    ti = (i * th).astype(jnp.float32) if hasattr(i, "astype") \
+        else jnp.float32(i * th)
+    tj = (j * tw).astype(jnp.float32) if hasattr(j, "astype") \
+        else jnp.float32(j * tw)
+
+    vmin = None
+    for dy in (0.0, th - 1.0):
+        for dx in (0.0, tw - 1.0):
+            cand = m10 * (tj + dx) + m11 * (ti + dy) + m12
+            vmin = cand if vmin is None else jnp.minimum(vmin, cand)
+    vbase = jnp.floor(vmin).astype(jnp.int32) - 3
+    umin = None
+    for dy in (-3.0, float(th + span)):
+        for dx in (0.0, tw - 1.0):
+            cand = gx * (tj + dx) + gy * (vmin + dy) + g0
+            umin = cand if umin is None else jnp.minimum(umin, cand)
+    ubase = jnp.floor(umin).astype(jnp.int32) - 3
+    byp = jnp.clip(jnp.floor_divide(vbase, th) + 2, 0, npi - 3)
+    bxp = jnp.clip(jnp.floor_divide(ubase, tw) + 1, 0, npj - 3)
+    vbase = jnp.clip(vbase, (byp - 2) * th, (byp - 2) * th + th - 1)
+    ubase = jnp.clip(ubase, (bxp - 1) * tw, (bxp - 1) * tw + tw - 1)
+    return byp, bxp, vbase, ubase
+
+def _make_kernel(n, th, tw, span, h_in, w_in, npi, npj, sigma_lo, sigma_hi):
     wh = 3 * th
 
-    def kernel(byp_ref, bxp_ref, vbase_ref, ubase_ref, mats_ref,
+    def kernel(mats_ref,
                b00, b01, b02, b10, b11, b12, b20, b21, b22,
                out_ref, rows_ref, win_ref, mid_ref):
         i = pl.program_id(0)
         j = pl.program_id(1)
         f = pl.program_id(2)
+        byp_s, bxp_s, vbase, ubase = _scalar_bases(
+            mats_ref, f, i, j, th, tw, npi, npj, span)
 
         blocks = ((b00, b01, b02), (b10, b11, b12), (b20, b21, b22))
         for dy in range(3):
@@ -72,13 +113,11 @@ def _make_kernel(n, th, tw, span, h_in, w_in, sigma_lo, sigma_hi):
         gy = m01 * inv_m11
         g0 = m02 - m01 * m12 * inv_m11
 
-        vbase = vbase_ref[f, i, j]          # absolute source row of tap 0
-        ubase = ubase_ref[f, i, j]          # absolute source col of tap 0
         # window origins in original (unpadded) source coordinates:
         # padded block b maps to original rows (b - 2) * th etc.
-        win_y0 = (byp_ref[f, i, j] - 2) * th
-        win_x0 = (bxp_ref[f, i, j] - 1) * tw
-        offy = vbase - win_y0               # in [0, 2*th) by construction
+        win_y0 = (byp_s - 2) * th
+        win_x0 = (bxp_s - 1) * tw
+        offy = vbase - win_y0               # in [0, th) by construction
         offx = ubase - win_x0
 
         rr = jax.lax.broadcasted_iota(jnp.int32, (th, tw), 0) \
@@ -231,59 +270,21 @@ def pallas_warp_combine(
     npj = n_tj + 2   # padded block cols
 
     mats = matrices.reshape(n, 6).astype(jnp.float32)
-    m00, m01, m02 = mats[:, 0], mats[:, 1], mats[:, 2]
-    m10, m11, m12 = mats[:, 3], mats[:, 4], mats[:, 5]
-    inv_m11 = 1.0 / m11
-    gx = m00 - m01 * m10 * inv_m11
-    gy = m01 * inv_m11
-    g0 = m02 - m01 * m12 * inv_m11
-
-    ti = jnp.arange(n_ti, dtype=jnp.float32)[:, None] * th
-    tj = jnp.arange(n_tj, dtype=jnp.float32)[None, :] * tw
-
-    def corner_min(ax, ay, a0, ys, xs):
-        vals = []
-        for dy in ys:
-            for dx in xs:
-                vals.append(ax[:, None, None] * (tj + dx)[None]
-                            + ay[:, None, None] * (ti + dy)
-                            + a0[:, None, None])
-        return functools.reduce(jnp.minimum, vals)
-
-    # vertical tap base: vbase = floor(min v over tile) - 3
-    vmin = corner_min(m10, m11, m12, (0.0, th - 1.0), (0.0, tw - 1.0))
-    vbase = jnp.floor(vmin).astype(jnp.int32) - 3
-    # horizontal tap base over tile cols x the tapped source rows
-    umin = None
-    for dy in (-3.0, float(th + span)):
-        for dx in (0.0, tw - 1.0):
-            cand = (gx[:, None, None] * (tj + dx)[None]
-                    + gy[:, None, None] * (vmin + dy)
-                    + g0[:, None, None])
-            umin = cand if umin is None else jnp.minimum(umin, cand)
-    ubase = jnp.floor(umin).astype(jnp.int32) - 3
-
-    # window origin blocks in PADDED coordinates; the window's first
-    # block holds the base, so offsets land in [0, th)/[0, tw)
-    byp = jnp.clip(jnp.floor_divide(vbase, th) + 2, 0, npi - 3)
-    bxp = jnp.clip(jnp.floor_divide(ubase, tw) + 1, 0, npj - 3)
-    # clamp bases so kernel offsets stay in the window even when the
-    # origin was clipped (only all-invalid tiles are affected)
-    vbase = jnp.clip(vbase, (byp - 2) * th, (byp - 2) * th + th - 1)
-    ubase = jnp.clip(ubase, (bxp - 1) * tw, (bxp - 1) * tw + tw - 1)
 
     def make_map(dy, dx):
-        def index_map(i, j, f, byp_r, bxp_r, vb_r, ub_r, m_r):
-            return (f, byp_r[f, i, j] + dy, bxp_r[f, i, j] + dx)
+        def index_map(i, j, f, mats_ref):
+            byp, bxp, _vb, _ub = _scalar_bases(
+                mats_ref, f, i, j, th, tw, npi, npj, span)
+            return (f, byp + dy, bxp + dx)
         return index_map
 
     in_specs = [pl.BlockSpec((1, th, tw), make_map(dy, dx))
                 for dy in range(3) for dx in range(3)]
 
-    kernel = _make_kernel(n, th, tw, span, h, w,
+    kernel = _make_kernel(n, th, tw, span, h, w, npi, npj,
                           float(sigma_lower), float(sigma_upper))
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=5,
+        num_scalar_prefetch=1,
         grid=(n_ti, n_tj, n),
         in_specs=in_specs,
         out_specs=pl.BlockSpec((th, tw), lambda i, j, f, *_: (i, j)),
@@ -298,4 +299,4 @@ def pallas_warp_combine(
         out_shape=jax.ShapeDtypeStruct((h, w), jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,
-    )(byp, bxp, vbase, ubase, mats, *([cal_p] * 9))
+    )(mats, *([cal_p] * 9))
