@@ -46,8 +46,9 @@ class PipelineConfig:
     sigma_lower: float = 5.0
     sigma_upper: float = 5.0
     combine: str = "average"
-    #: 'xla' (fused two-sort path) or 'pallas' (single-HBM-pass kernel;
-    #: only for combine='average')
+    #: 'xla' (fused two-sort path), 'pallas' (single-HBM-pass combine
+    #: kernel), or 'fused' (warp+combine in ONE Pallas kernel — no
+    #: stack-sized temporaries at all; combine='average' only)
     combine_impl: str = "xla"
     #: 'separable' = gather-free two-pass Lanczos3 (TPU fast path),
     #: 'lanczos3' = direct 6x6 gather kernel, 'bilinear' = cheap preview
@@ -160,6 +161,28 @@ def calibrate_register_stack(
 
     matrices = jax.vmap(lambda i: jax.tree_util.tree_map(
         lambda a: a[i], sims).matrix())(jnp.arange(n))
+
+    if config.combine_impl == "fused" and config.combine == "average":
+        # single mega-kernel: per-tile on-chip warp of every frame +
+        # sigma-clip combine; no (N, H, W) temporaries exist at all
+        from ..ops.pallas_warp_combine import pallas_warp_combine
+
+        if config.n_bands > 1:
+            raise ValueError("combine_impl='fused' subsumes banding; "
+                             "use n_bands=1")
+        stacked = pallas_warp_combine(
+            cal, matrices, span=config.warp_span,
+            sigma_lower=config.sigma_lower, sigma_upper=config.sigma_upper)
+        diagnostics = {
+            "scale": sims.scale,
+            "theta": sims.theta,
+            "tx": sims.tx,
+            "ty": sims.ty,
+            "n_inliers": sims.n_inliers,
+            "rms": sims.rms,
+            "n_stars": jnp.sum(stars.valid, axis=1),
+        }
+        return stacked, diagnostics
 
     if config.interp == "separable":
         # analytic coverage: the stacking path masks coverage<0.5 anyway,

@@ -255,12 +255,24 @@ def pallas_warp_combine(
     affine maps with |translation| < one tile and stacking-scale
     rotations.  H, W must be divisible by the tile.  Returns (H, W).
     """
-    n, h, w = cal.shape
+    import jax as _jax
+
+    if _jax.default_backend() == "cpu" and not interpret:
+        # Mosaic kernels need the interpreter on the CPU backend
+        return pallas_warp_combine(cal, matrices, tile=tile, span=span,
+                                   sigma_lower=sigma_lower,
+                                   sigma_upper=sigma_upper, interpret=True)
+    n, h0, w0 = cal.shape
     th, tw = tile
-    if h % th or w % tw:
-        raise ValueError(f"image {h}x{w} not divisible by tile {tile}")
     if th <= span:
         raise ValueError("tile height must exceed span")
+    # round the image up to the tile grid; coverage bounds use the true
+    # geometry so padded pixels never contribute
+    ph = (-h0) % th
+    pw = (-w0) % tw
+    if ph or pw:
+        cal = jnp.pad(cal, ((0, 0), (0, ph), (0, pw)))
+    h, w = h0 + ph, w0 + pw
     n_ti, n_tj = h // th, w // tw
 
     # zero apron: 2 blocks top/bottom, 1 block left/right, so window
@@ -281,7 +293,7 @@ def pallas_warp_combine(
     in_specs = [pl.BlockSpec((1, th, tw), make_map(dy, dx))
                 for dy in range(3) for dx in range(3)]
 
-    kernel = _make_kernel(n, th, tw, span, h, w, npi, npj,
+    kernel = _make_kernel(n, th, tw, span, h0, w0, npi, npj,
                           float(sigma_lower), float(sigma_upper))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -294,9 +306,10 @@ def pallas_warp_combine(
             pltpu.VMEM((3 * th, tw), jnp.float32),
         ],
     )
-    return pl.pallas_call(
+    out = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((h, w), jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,
     )(mats, *([cal_p] * 9))
+    return out[:h0, :w0]
