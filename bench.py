@@ -53,7 +53,11 @@ def _attempt(n_frames: int, size: int, repeats: int,
                             + bias, 0, 65535).astype(np.uint16)
 
     n_bands = int(os.environ.get("BENCH_BANDS", "0"))
-    if n_bands == 0:
+    if combine_impl == "fused":
+        # the fused warp+combine kernel never materializes stack-sized
+        # temporaries, so banding is unnecessary at any size
+        n_bands = 1
+    elif n_bands == 0:
         # unbanded is fastest (each band costs an extra device dispatch);
         # band only when the ~7 stack-sized temporaries would overflow HBM
         peak_bytes = n_frames * size * size * 4 * 7
@@ -104,7 +108,7 @@ def main() -> int:
         ladder = [(24, 4096), (40, 2048), (16, 2048), (16, 1024), (8, 1024)]
     last_err = None
     for n_frames, size in ladder:
-        for impl in ("pallas", "xla"):
+        for impl in ("fused", "pallas", "xla"):
             try:
                 result = _attempt(n_frames, size, repeats, combine_impl=impl)
                 print(json.dumps(result))
