@@ -108,7 +108,7 @@ def main() -> int:
         ladder = [(24, 4096), (40, 2048), (16, 2048), (16, 1024), (8, 1024)]
     last_err = None
     for n_frames, size in ladder:
-        for impl in ("fused", "pallas", "xla"):
+        for impl in ("pallas", "fused", "xla"):
             try:
                 result = _attempt(n_frames, size, repeats, combine_impl=impl)
                 print(json.dumps(result))
