@@ -127,16 +127,19 @@ def calibrate_register_stack(
                           max_stars=config.max_stars)
 
     if config.detect_mode == "chunked" and n > config.detect_chunk:
+        # Python-unrolled chunks: unlike lax.map (which costs ~100 ms of
+        # dispatch per iteration through this environment), unrolled
+        # chunks stay one XLA program while letting liveness analysis
+        # free each chunk's density stack before the next
         c = config.detect_chunk
         if n % c:
             raise ValueError(f"frame count {n} not divisible by "
                              f"detect_chunk {c}")
-        chunked = (cal.reshape(n // c, c, h, w),
-                   center.reshape(n // c, c), std.reshape(n // c, c))
-        stars = jax.lax.map(
-            lambda args: jax.vmap(detect)(*args), chunked)
+        parts = [jax.vmap(detect)(cal[k:k + c], center[k:k + c],
+                                  std[k:k + c])
+                 for k in range(0, n, c)]
         stars = jax.tree_util.tree_map(
-            lambda a: a.reshape((n,) + a.shape[2:]), stars)
+            lambda *xs: jnp.concatenate(xs, axis=0), *parts)
     else:
         stars = jax.vmap(detect)(cal, center, std)
 
