@@ -134,17 +134,25 @@ def find_stars(
     if h % 2 == 0 and w % 2 == 0:
         # two adjacent strict 3x3 maxima are impossible, so each 2x2
         # block holds at most one peak: reduce 4x before the (costly)
-        # top_k without losing any candidate — exact, not approximate
-        blocks = score.reshape(h // 2, 2, w // 2, 2).transpose(0, 2, 1, 3)
-        blocks = blocks.reshape(h // 2, w // 2, 4)
-        bmax = jnp.max(blocks, axis=-1)
-        barg = jnp.argmax(blocks, axis=-1)
+        # top_k without losing any candidate — exact, not approximate.
+        # Use strided slices + pairwise max/selects: a trailing length-4
+        # axis would lane-pad to 128 on TPU (10x memory blowup).
+        q00 = score[0::2, 0::2]
+        q01 = score[0::2, 1::2]
+        q10 = score[1::2, 0::2]
+        q11 = score[1::2, 1::2]
+        top_row = jnp.maximum(q00, q01)
+        bot_row = jnp.maximum(q10, q11)
+        bmax = jnp.maximum(top_row, bot_row)
+        # encode the winning quadrant in 2 bits
+        from_bot = bot_row > top_row
+        off_y = from_bot.astype(jnp.int32)
+        off_x = jnp.where(from_bot, (q11 > q10).astype(jnp.int32),
+                          (q01 > q00).astype(jnp.int32))
         top_vals, bidx = jax.lax.top_k(bmax.reshape(-1), max_stars)
         valid = jnp.isfinite(top_vals)
-        sub = bidx  # index into the (h//2 * w//2) block grid
-        boff = jnp.take(barg.reshape(-1), sub)
-        py = (sub // (w // 2)) * 2 + boff // 2
-        px = (sub % (w // 2)) * 2 + boff % 2
+        py = (bidx // (w // 2)) * 2 + jnp.take(off_y.reshape(-1), bidx)
+        px = (bidx % (w // 2)) * 2 + jnp.take(off_x.reshape(-1), bidx)
     else:
         top_vals, top_idx = jax.lax.top_k(score.reshape(-1), max_stars)
         valid = jnp.isfinite(top_vals)
