@@ -26,7 +26,6 @@ convention: arrays have static length ``max_stars``, with a boolean
 from __future__ import annotations
 
 import functools
-import math
 from typing import NamedTuple, Optional, Tuple
 
 import jax
