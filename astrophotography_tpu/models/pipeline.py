@@ -253,3 +253,87 @@ def calibrate_register_stack(
         "n_stars": jnp.sum(stars.valid, axis=1),
     }
     return stacked, diagnostics
+
+
+@functools.partial(jax.jit, static_argnames=("config",))
+def calibrate_register_stack_lean(
+    frames: jnp.ndarray,
+    bias: Optional[jnp.ndarray] = None,
+    dark: Optional[jnp.ndarray] = None,
+    flat: Optional[jnp.ndarray] = None,
+    exp_ratios: Optional[jnp.ndarray] = None,
+    config: PipelineConfig = PipelineConfig(),
+):
+    """Memory-lean variant of :func:`calibrate_register_stack` for
+    stacks near the HBM limit (the BASELINE 100x16-Mpix north star).
+
+    The f32 calibrated stack never exists: detection calibrates each
+    frame chunk transiently, and the fused warp+combine Pallas kernel
+    calibrates raw uint16 blocks on-chip (cal = raw*A - B - r*C with
+    A=1/flat, B=bias/flat, C=dark_used/flat).  Requires
+    combine='average'; frames may be uint16.
+    """
+    from ..ops.pallas_warp_combine import pallas_warp_combine
+
+    n, h, w = frames.shape
+    c = config.detect_chunk if config.detect_mode == "chunked" else n
+    if n % c:
+        raise ValueError(f"frame count {n} not divisible by chunk {c}")
+    if exp_ratios is None:
+        exp_ratios = jnp.ones((n,), jnp.float32)
+
+    def detect(frame, ce, s):
+        return find_stars(frame - ce, fwhm=config.fwhm,
+                          threshold=config.detect_nsigma * s,
+                          max_stars=config.max_stars)
+
+    parts = []
+    for k in range(0, n, c):
+        calc = calibrate_batch(frames[k:k + c], bias, dark, flat,
+                               exp_ratios[k:k + c],
+                               dark_still_biased=config.dark_still_biased)
+        ce, s = frame_noise_stats(calc)
+        parts.append(jax.vmap(detect)(calc, ce, s))
+    stars = jax.tree_util.tree_map(
+        lambda *xs: jnp.concatenate(xs, axis=0), *parts)
+
+    ref = jax.tree_util.tree_map(lambda a: a[0], stars)
+
+    def est(i):
+        tgt = jax.tree_util.tree_map(lambda a: a[i], stars)
+        return estimate_similarity(
+            ref.x, ref.y, ref.flux, ref.valid,
+            tgt.x, tgt.y, tgt.flux, tgt.valid, k=config.match_k)
+
+    sims = jax.vmap(est)(jnp.arange(n))
+    ident = Similarity(
+        scale=jnp.ones(()), theta=jnp.zeros(()), tx=jnp.zeros(()),
+        ty=jnp.zeros(()), n_inliers=jnp.int32(config.max_stars),
+        rms=jnp.zeros(()))
+    sims = jax.tree_util.tree_map(
+        lambda all_v, id_v: all_v.at[0].set(id_v), sims,
+        jax.tree_util.tree_map(lambda x: jnp.asarray(x), ident))
+    matrices = jax.vmap(lambda i: jax.tree_util.tree_map(
+        lambda a: a[i], sims).matrix())(jnp.arange(n))
+
+    inv_flat = (1.0 / flat) if flat is not None \
+        else jnp.ones((h, w), jnp.float32)
+    bias_t = bias if bias is not None else jnp.zeros((h, w), jnp.float32)
+    if dark is not None:
+        dark_use = dark - bias_t if (config.dark_still_biased
+                                     and bias is not None) else dark
+    else:
+        dark_use = jnp.zeros((h, w), jnp.float32)
+    masters = jnp.stack([inv_flat, bias_t * inv_flat, dark_use * inv_flat])
+
+    stacked = pallas_warp_combine(
+        frames, matrices, masters=masters, exp_ratios=exp_ratios,
+        span=config.warp_span, sigma_lower=config.sigma_lower,
+        sigma_upper=config.sigma_upper)
+    diagnostics = {
+        "scale": sims.scale, "theta": sims.theta,
+        "tx": sims.tx, "ty": sims.ty,
+        "n_inliers": sims.n_inliers, "rms": sims.rms,
+        "n_stars": jnp.sum(stars.valid, axis=1),
+    }
+    return stacked, diagnostics

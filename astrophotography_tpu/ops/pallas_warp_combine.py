@@ -89,6 +89,7 @@ def _make_kernel(n, th, tw, span, h_in, w_in, npi, npj, sigma_lo, sigma_hi):
 
     def kernel(mats_ref,
                b00, b01, b02, b10, b11, b12, b20, b21, b22,
+               m00_, m01_, m02_, m10_, m11_, m12_, m20_, m21_, m22_,
                out_ref, rows_ref, win_ref, mid_ref):
         i = pl.program_id(0)
         j = pl.program_id(1)
@@ -96,11 +97,19 @@ def _make_kernel(n, th, tw, span, h_in, w_in, npi, npj, sigma_lo, sigma_hi):
         byp_s, bxp_s, vbase, ubase = _scalar_bases(
             mats_ref, f, i, j, th, tw, npi, npj, span)
 
+        # assemble + calibrate the source window on-chip:
+        # cal = raw * A - B - exp_ratio * C  with A=1/flat,
+        # B=bias/flat, C=dark/flat precomputed outside
+        exp_r = mats_ref[f, 6]
         blocks = ((b00, b01, b02), (b10, b11, b12), (b20, b21, b22))
+        mblocks = ((m00_, m01_, m02_), (m10_, m11_, m12_),
+                   (m20_, m21_, m22_))
         for dy in range(3):
             for dx in range(3):
+                raw = blocks[dy][dx][0].astype(jnp.float32)
+                mb = mblocks[dy][dx]
                 win_ref[dy * th:(dy + 1) * th, dx * tw:(dx + 1) * tw] = \
-                    blocks[dy][dx][0]
+                    raw * mb[0] - mb[1] - exp_r * mb[2]  # A, B, C planes
 
         m00 = mats_ref[f, 0]
         m01 = mats_ref[f, 1]
@@ -243,24 +252,33 @@ def _make_kernel(n, th, tw, span, h_in, w_in, npi, npj, sigma_lo, sigma_hi):
 def pallas_warp_combine(
     cal: jnp.ndarray,
     matrices: jnp.ndarray,
+    masters: "jnp.ndarray | None" = None,
+    exp_ratios: "jnp.ndarray | None" = None,
     tile: Tuple[int, int] = (32, 256),
     span: int = 12,
     sigma_lower: float = 5.0,
     sigma_upper: float = 5.0,
     interpret: bool = False,
 ) -> jnp.ndarray:
-    """Warp every frame by its matrix and sigma-clip-average, fused.
+    """Warp every frame by its matrix and sigma-clip-average, fused —
+    optionally calibrating RAW frames on-chip so the f32 calibrated
+    stack never exists.
 
-    ``cal`` (N, H, W) float32; ``matrices`` (N, 2, 3) output->source
-    affine maps with |translation| < one tile and stacking-scale
-    rotations.  H, W must be divisible by the tile.  Returns (H, W).
+    ``cal`` (N, H, W) float32 calibrated frames, or raw uint16/float
+    frames when ``masters`` is given; ``matrices`` (N, 2, 3)
+    output->source affine maps with |translation| < one tile and
+    stacking-scale rotations; ``masters`` (3, H, W): A=1/flat,
+    B=bias/flat, C=dark/flat so cal = raw*A - B - exp_ratio*C;
+    ``exp_ratios`` (N,) light/dark exposure ratios (default 1).
+    H, W must be divisible by the tile.  Returns (H, W).
     """
     import jax as _jax
 
     if _jax.default_backend() == "cpu" and not interpret:
         # Mosaic kernels need the interpreter on the CPU backend
-        return pallas_warp_combine(cal, matrices, tile=tile, span=span,
-                                   sigma_lower=sigma_lower,
+        return pallas_warp_combine(cal, matrices, masters=masters,
+                                   exp_ratios=exp_ratios, tile=tile,
+                                   span=span, sigma_lower=sigma_lower,
                                    sigma_upper=sigma_upper, interpret=True)
     n, h0, w0 = cal.shape
     th, tw = tile
@@ -281,7 +299,24 @@ def pallas_warp_combine(
     npi = n_ti + 4   # padded block rows
     npj = n_tj + 2   # padded block cols
 
-    mats = matrices.reshape(n, 6).astype(jnp.float32)
+    mats6 = matrices.reshape(n, 6).astype(jnp.float32)
+    if exp_ratios is None:
+        exp_ratios = jnp.ones((n,), jnp.float32)
+    mats = jnp.concatenate(
+        [mats6, exp_ratios.reshape(n, 1).astype(jnp.float32),
+         jnp.zeros((n, 1), jnp.float32)], axis=1)  # (n, 8)
+
+    if masters is None:
+        # identity calibration: A=1, B=0, C=0
+        masters = jnp.stack([
+            jnp.ones((h0, w0), jnp.float32),
+            jnp.zeros((h0, w0), jnp.float32),
+            jnp.zeros((h0, w0), jnp.float32)])
+    mast_p = jnp.pad(masters.astype(jnp.float32),
+                     ((0, 0), (0, ph), (0, pw)))
+    mast_p = jnp.pad(mast_p, ((0, 0), (2 * th, 2 * th), (tw, tw)))
+    # A=1 inside the apron too would pollute coverage-excluded pixels
+    # only, which never contribute
 
     def make_map(dy, dx):
         def index_map(i, j, f, mats_ref):
@@ -290,8 +325,18 @@ def pallas_warp_combine(
             return (f, byp + dy, bxp + dx)
         return index_map
 
+    def make_mmap(dy, dx, plane):
+        def index_map(i, j, f, mats_ref):
+            byp, bxp, _vb, _ub = _scalar_bases(
+                mats_ref, f, i, j, th, tw, npi, npj, span)
+            return (plane, byp + dy, bxp + dx)
+        return index_map
+
     in_specs = [pl.BlockSpec((1, th, tw), make_map(dy, dx))
                 for dy in range(3) for dx in range(3)]
+    # master windows: one (3, th, tw) block per neighborhood position
+    in_specs += [pl.BlockSpec((3, th, tw), make_mmap(dy, dx, 0))
+                 for dy in range(3) for dx in range(3)]
 
     kernel = _make_kernel(n, th, tw, span, h0, w0, npi, npj,
                           float(sigma_lower), float(sigma_upper))
@@ -311,5 +356,5 @@ def pallas_warp_combine(
         out_shape=jax.ShapeDtypeStruct((h, w), jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,
-    )(mats, *([cal_p] * 9))
+    )(mats, *([cal_p] * 9), *([mast_p] * 9))
     return out[:h0, :w0]

@@ -64,3 +64,28 @@ def test_fused_rejects_outlier_frame():
     # identity frame 0: output pixel ~ (30,50); clipped combine stays background
     region = got[28:34, 46:56]
     assert region.max() < 6000.0
+
+
+def test_lean_pipeline_matches_standard():
+    """The memory-lean raw-in pipeline (in-kernel calibration) matches
+    the standard pipeline."""
+    from astrophotography_tpu.models import PipelineConfig
+    from astrophotography_tpu.models.pipeline import (
+        calibrate_register_stack, calibrate_register_stack_lean)
+    from tests.test_register_stack import _make_dithered_stack
+
+    frames, _t, _ = _make_dithered_stack(n_frames=4, shape=(192, 192),
+                                         seed=5)
+    bias = np.full((192, 192), 250.0, np.float32)
+    raw = np.clip(frames + bias, 0, 65535).astype(np.uint16)
+    cfg = PipelineConfig(max_stars=32, match_k=10, detect_mode="chunked",
+                         detect_chunk=2)
+    s_lean, d = calibrate_register_stack_lean(
+        jnp.asarray(raw), bias=jnp.asarray(bias), config=cfg)
+    s_ref, _ = calibrate_register_stack(
+        jnp.asarray(raw), bias=jnp.asarray(bias),
+        config=PipelineConfig(max_stars=32, match_k=10))
+    a, b = np.asarray(s_lean), np.asarray(s_ref)
+    both = (a != 0) & (b != 0)
+    assert np.median(np.abs(a[both] - b[both])) < 1e-3
+    assert np.percentile(np.abs(a[both] - b[both]), 99) < 0.1
