@@ -106,7 +106,12 @@ def _make_kernel(n, th, tw, span, h_in, w_in, npi, npj, sigma_lo, sigma_hi):
                    (m20_, m21_, m22_))
         for dy in range(3):
             for dx in range(3):
-                raw = blocks[dy][dx][0].astype(jnp.float32)
+                raw_blk = blocks[dy][dx][0]
+                if raw_blk.dtype == jnp.uint16:
+                    # Mosaic lacks a direct u16->f32 cast
+                    raw = raw_blk.astype(jnp.int32).astype(jnp.float32)
+                else:
+                    raw = raw_blk.astype(jnp.float32)
                 mb = mblocks[dy][dx]
                 win_ref[dy * th:(dy + 1) * th, dx * tw:(dx + 1) * tw] = \
                     raw * mb[0] - mb[1] - exp_r * mb[2]  # A, B, C planes
