@@ -135,9 +135,17 @@ def calibrate_register_stack(
         if n % c:
             raise ValueError(f"frame count {n} not divisible by "
                              f"detect_chunk {c}")
-        parts = [jax.vmap(detect)(cal[k:k + c], center[k:k + c],
-                                  std[k:k + c])
-                 for k in range(0, n, c)]
+        # thread a token between chunks: without a data dependence the
+        # XLA scheduler interleaves all chunks and their buffers stay
+        # live simultaneously, defeating the memory bound
+        parts = []
+        token = jnp.float32(0.0)
+        for k in range(0, n, c):
+            chunk, token_in = jax.lax.optimization_barrier(
+                (cal[k:k + c], token))
+            part = jax.vmap(detect)(chunk, center[k:k + c], std[k:k + c])
+            token = part.x[0, 0] * 0.0 + token_in
+            parts.append(part)
         stars = jax.tree_util.tree_map(
             lambda *xs: jnp.concatenate(xs, axis=0), *parts)
     else:
@@ -288,12 +296,19 @@ def calibrate_register_stack_lean(
                           max_stars=config.max_stars)
 
     parts = []
+    token = jnp.float32(0.0)
     for k in range(0, n, c):
-        calc = calibrate_batch(frames[k:k + c], bias, dark, flat,
+        # token chain forces the scheduler to finish each chunk before
+        # starting the next, bounding live chunk buffers to one
+        chunk, token_in = jax.lax.optimization_barrier(
+            (frames[k:k + c], token))
+        calc = calibrate_batch(chunk, bias, dark, flat,
                                exp_ratios[k:k + c],
                                dark_still_biased=config.dark_still_biased)
         ce, s = frame_noise_stats(calc)
-        parts.append(jax.vmap(detect)(calc, ce, s))
+        part = jax.vmap(detect)(calc, ce, s)
+        token = part.x[0, 0] * 0.0 + token_in
+        parts.append(part)
     stars = jax.tree_util.tree_map(
         lambda *xs: jnp.concatenate(xs, axis=0), *parts)
 
