@@ -141,10 +141,11 @@ def calibrate_register_stack(
         parts = []
         token = jnp.float32(0.0)
         for k in range(0, n, c):
-            chunk, token_in = jax.lax.optimization_barrier(
+            chunk, _tok = jax.lax.optimization_barrier(
                 (cal[k:k + c], token))
             part = jax.vmap(detect)(chunk, center[k:k + c], std[k:k + c])
-            token = part.x[0, 0] * 0.0 + token_in
+            # the raw value (not multiplied by zero, which XLA folds)
+            token = jax.lax.optimization_barrier(part.x[0, 0])
             parts.append(part)
         stars = jax.tree_util.tree_map(
             lambda *xs: jnp.concatenate(xs, axis=0), *parts)
@@ -300,14 +301,15 @@ def calibrate_register_stack_lean(
     for k in range(0, n, c):
         # token chain forces the scheduler to finish each chunk before
         # starting the next, bounding live chunk buffers to one
-        chunk, token_in = jax.lax.optimization_barrier(
+        chunk, _tok = jax.lax.optimization_barrier(
             (frames[k:k + c], token))
         calc = calibrate_batch(chunk, bias, dark, flat,
                                exp_ratios[k:k + c],
                                dark_still_biased=config.dark_still_biased)
         ce, s = frame_noise_stats(calc)
         part = jax.vmap(detect)(calc, ce, s)
-        token = part.x[0, 0] * 0.0 + token_in
+        # raw value as the token (a zero-multiplied one gets folded away)
+        token = jax.lax.optimization_barrier(part.x[0, 0])
         parts.append(part)
     stars = jax.tree_util.tree_map(
         lambda *xs: jnp.concatenate(xs, axis=0), *parts)
