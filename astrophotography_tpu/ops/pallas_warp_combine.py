@@ -293,14 +293,14 @@ def pallas_warp_combine(
     # geometry so padded pixels never contribute
     ph = (-h0) % th
     pw = (-w0) % tw
-    if ph or pw:
-        cal = jnp.pad(cal, ((0, 0), (0, ph), (0, pw)))
     h, w = h0 + ph, w0 + pw
     n_ti, n_tj = h // th, w // tw
 
     # zero apron: 2 blocks top/bottom, 1 block left/right, so window
     # origins stay in range for any |translation| up to a tile
-    cal_p = jnp.pad(cal, ((0, 0), (2 * th, 2 * th), (tw, tw)))
+    # one combined pad (tile rounding + apron): sequential pads would
+    # each materialize a full stack copy
+    cal_p = jnp.pad(cal, ((0, 0), (2 * th, 2 * th + ph), (tw, tw + pw)))
     npi = n_ti + 4   # padded block rows
     npj = n_tj + 2   # padded block cols
 
@@ -318,8 +318,7 @@ def pallas_warp_combine(
             jnp.zeros((h0, w0), jnp.float32),
             jnp.zeros((h0, w0), jnp.float32)])
     mast_p = jnp.pad(masters.astype(jnp.float32),
-                     ((0, 0), (0, ph), (0, pw)))
-    mast_p = jnp.pad(mast_p, ((0, 0), (2 * th, 2 * th), (tw, tw)))
+                     ((0, 0), (2 * th, 2 * th + ph), (tw, tw + pw)))
     # A=1 inside the apron too would pollute coverage-excluded pixels
     # only, which never contribute
 
