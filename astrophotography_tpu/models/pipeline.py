@@ -68,6 +68,11 @@ class PipelineConfig:
     #: plain per-frame scan measured pathologically slow on TPU)
     detect_mode: str = "vmap"
     detect_chunk: int = 8
+    #: fused-kernel apron: True pads the source stack with a zero apron
+    #: (simple, one extra stack copy); False streams tiles straight from
+    #: the unpadded stack (memory-critical 100x16-Mpix runs) at the cost
+    #: of a <= 1-tile zero border ring
+    fused_apron: bool = True
 
 
 @jax.jit
@@ -182,9 +187,13 @@ def calibrate_register_stack(
         if config.n_bands > 1:
             raise ValueError("combine_impl='fused' subsumes banding; "
                              "use n_bands=1")
+        # apron-free needs >= 3 tile blocks per axis; small frames have
+        # no memory pressure, so quietly keep the apron there
+        apron = config.fused_apron or cal.shape[1] < 96 or cal.shape[2] < 768
         stacked = pallas_warp_combine(
             cal, matrices, span=config.warp_span,
-            sigma_lower=config.sigma_lower, sigma_upper=config.sigma_upper)
+            sigma_lower=config.sigma_lower, sigma_upper=config.sigma_upper,
+            apron=apron)
         diagnostics = {
             "scale": sims.scale,
             "theta": sims.theta,
@@ -343,10 +352,11 @@ def calibrate_register_stack_lean(
         dark_use = jnp.zeros((h, w), jnp.float32)
     masters = jnp.stack([inv_flat, bias_t * inv_flat, dark_use * inv_flat])
 
+    apron = config.fused_apron or h < 96 or w < 768
     stacked = pallas_warp_combine(
         frames, matrices, masters=masters, exp_ratios=exp_ratios,
         span=config.warp_span, sigma_lower=config.sigma_lower,
-        sigma_upper=config.sigma_upper)
+        sigma_upper=config.sigma_upper, apron=apron)
     diagnostics = {
         "scale": sims.scale, "theta": sims.theta,
         "tx": sims.tx, "ty": sims.ty,

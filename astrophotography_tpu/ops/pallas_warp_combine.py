@@ -47,7 +47,7 @@ def _l3(t):
 
 
 
-def _scalar_bases(mats_ref, f, i, j, th, tw, npi, npj, span):
+def _scalar_bases(mats_ref, f, i, j, th, tw, npi, npj, span, apron):
     """Per (frame, tile) tap bases and window-origin blocks, computed
     from the matrix table alone (scalar math; runs in index maps and in
     the kernel so nothing tile-sized ever occupies SMEM)."""
@@ -78,13 +78,16 @@ def _scalar_bases(mats_ref, f, i, j, th, tw, npi, npj, span):
             cand = gx * (tj + dx) + gy * (vmin + dy) + g0
             umin = cand if umin is None else jnp.minimum(umin, cand)
     ubase = jnp.floor(umin).astype(jnp.int32) - 3
-    byp = jnp.clip(jnp.floor_divide(vbase, th) + 2, 0, npi - 3)
-    bxp = jnp.clip(jnp.floor_divide(ubase, tw) + 1, 0, npj - 3)
-    vbase = jnp.clip(vbase, (byp - 2) * th, (byp - 2) * th + th - 1)
-    ubase = jnp.clip(ubase, (bxp - 1) * tw, (bxp - 1) * tw + tw - 1)
+    oy, ox = (2, 1) if apron else (0, 0)
+    byp = jnp.clip(jnp.floor_divide(vbase, th) + oy, 0, npi - 3)
+    bxp = jnp.clip(jnp.floor_divide(ubase, tw) + ox, 0, npj - 3)
+    # bases stay RAW: the kernel accepts a (frame, tile) only when the
+    # tap offsets land inside the usable window range, which uniformly
+    # covers origin clipping at frame edges and the apron-free mode
     return byp, bxp, vbase, ubase
 
-def _make_kernel(n, th, tw, span, h_in, w_in, npi, npj, sigma_lo, sigma_hi):
+def _make_kernel(n, th, tw, span, h_in, w_in, npi, npj, sigma_lo, sigma_hi,
+                 apron):
     wh = 3 * th
 
     def kernel(mats_ref,
@@ -95,7 +98,7 @@ def _make_kernel(n, th, tw, span, h_in, w_in, npi, npj, sigma_lo, sigma_hi):
         j = pl.program_id(1)
         f = pl.program_id(2)
         byp_s, bxp_s, vbase, ubase = _scalar_bases(
-            mats_ref, f, i, j, th, tw, npi, npj, span)
+            mats_ref, f, i, j, th, tw, npi, npj, span, apron)
 
         # assemble + calibrate the source window on-chip:
         # cal = raw * A - B - exp_ratio * C  with A=1/flat,
@@ -128,11 +131,27 @@ def _make_kernel(n, th, tw, span, h_in, w_in, npi, npj, sigma_lo, sigma_hi):
         g0 = m02 - m01 * m12 * inv_m11
 
         # window origins in original (unpadded) source coordinates:
-        # padded block b maps to original rows (b - 2) * th etc.
-        win_y0 = (byp_s - 2) * th
-        win_x0 = (bxp_s - 1) * tw
-        offy = vbase - win_y0               # in [0, th) by construction
+        # padded block b maps to original rows (b - oy) * th etc.
+        oy, ox = (2, 1) if apron else (0, 0)
+        win_y0 = (byp_s - oy) * th
+        win_x0 = (bxp_s - ox) * tw
+        offy = vbase - win_y0
         offx = ubase - win_x0
+        # the window must contain every tap a COVERED pixel can use:
+        # coverage restricts absolute taps to [0, h_in) x [0, w_in), and
+        # the tap loops reach [vbase, vbase + th + span).  A clipped
+        # window origin at a frame edge still satisfies this (the
+        # window ends exactly at the frame edge); only extreme
+        # misalignment (|translation| beyond the apron budget) fails,
+        # and those (frame, tile) pairs are zeroed instead of reading
+        # garbage.  Out-of-window one-hot rows/cols are zero and only
+        # ever meet zero lanczos weight for covered pixels.
+        base_ok = ((win_y0 <= jnp.maximum(vbase, 0))
+                   & (jnp.minimum(vbase + th + span, h_in)
+                      <= win_y0 + 3 * th)
+                   & (win_x0 <= jnp.maximum(ubase, 0))
+                   & (jnp.minimum(ubase + tw + span, w_in)
+                      <= win_x0 + 3 * tw))
 
         rr = jax.lax.broadcasted_iota(jnp.int32, (th, tw), 0) \
             .astype(jnp.float32)
@@ -197,7 +216,7 @@ def _make_kernel(n, th, tw, span, h_in, w_in, npi, npj, sigma_lo, sigma_hi):
 
         sx = m00 * x_out + m01 * y_out + m02
         cover = ((sx >= 2.0) & (sx <= w_in - 4.0)
-                 & (v >= 2.0) & (v <= h_in - 4.0))
+                 & (v >= 2.0) & (v <= h_in - 4.0) & base_ok)
         big = jnp.float32(3.4e38)
         rows_ref[f] = jnp.where(cover, warped, big)
 
@@ -253,7 +272,7 @@ def _make_kernel(n, th, tw, span, h_in, w_in, npi, npj, sigma_lo, sigma_hi):
 
 @functools.partial(jax.jit,
                    static_argnames=("tile", "span", "sigma_lower",
-                                    "sigma_upper", "interpret"))
+                                    "sigma_upper", "apron", "interpret"))
 def pallas_warp_combine(
     cal: jnp.ndarray,
     matrices: jnp.ndarray,
@@ -263,6 +282,7 @@ def pallas_warp_combine(
     span: int = 12,
     sigma_lower: float = 5.0,
     sigma_upper: float = 5.0,
+    apron: bool = True,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Warp every frame by its matrix and sigma-clip-average, fused —
@@ -284,7 +304,8 @@ def pallas_warp_combine(
         return pallas_warp_combine(cal, matrices, masters=masters,
                                    exp_ratios=exp_ratios, tile=tile,
                                    span=span, sigma_lower=sigma_lower,
-                                   sigma_upper=sigma_upper, interpret=True)
+                                   sigma_upper=sigma_upper, apron=apron,
+                                   interpret=True)
     n, h0, w0 = cal.shape
     th, tw = tile
     if th <= span:
@@ -296,13 +317,26 @@ def pallas_warp_combine(
     h, w = h0 + ph, w0 + pw
     n_ti, n_tj = h // th, w // tw
 
-    # zero apron: 2 blocks top/bottom, 1 block left/right, so window
-    # origins stay in range for any |translation| up to a tile
-    # one combined pad (tile rounding + apron): sequential pads would
-    # each materialize a full stack copy
-    cal_p = jnp.pad(cal, ((0, 0), (2 * th, 2 * th + ph), (tw, tw + pw)))
-    npi = n_ti + 4   # padded block rows
-    npj = n_tj + 2   # padded block cols
+    if apron:
+        # zero apron: 2 blocks top/bottom, 1 block left/right, so window
+        # origins stay in range for any |translation| up to a tile; one
+        # combined pad (sequential pads would each copy the stack)
+        cal_p = jnp.pad(cal, ((0, 0), (2 * th, 2 * th + ph), (tw, tw + pw)))
+        npi = n_ti + 4   # padded block rows
+        npj = n_tj + 2   # padded block cols
+    else:
+        # apron-free (memory-critical stacks): no padded copy at all;
+        # edge tiles whose windows would need the apron are excluded
+        # via coverage (a <= 1-tile border ring)
+        if n_ti < 3 or n_tj < 3:
+            raise ValueError("apron-free mode needs >= 3 tile blocks "
+                             "per axis; use apron=True or smaller tiles")
+        if ph or pw:
+            cal_p = jnp.pad(cal, ((0, 0), (0, ph), (0, pw)))
+        else:
+            cal_p = cal
+        npi = n_ti
+        npj = n_tj
 
     mats6 = matrices.reshape(n, 6).astype(jnp.float32)
     if exp_ratios is None:
@@ -317,22 +351,26 @@ def pallas_warp_combine(
             jnp.ones((h0, w0), jnp.float32),
             jnp.zeros((h0, w0), jnp.float32),
             jnp.zeros((h0, w0), jnp.float32)])
-    mast_p = jnp.pad(masters.astype(jnp.float32),
-                     ((0, 0), (2 * th, 2 * th + ph), (tw, tw + pw)))
+    if apron:
+        mast_p = jnp.pad(masters.astype(jnp.float32),
+                         ((0, 0), (2 * th, 2 * th + ph), (tw, tw + pw)))
+    else:
+        mast_p = jnp.pad(masters.astype(jnp.float32),
+                         ((0, 0), (0, ph), (0, pw)))
     # A=1 inside the apron too would pollute coverage-excluded pixels
     # only, which never contribute
 
     def make_map(dy, dx):
         def index_map(i, j, f, mats_ref):
             byp, bxp, _vb, _ub = _scalar_bases(
-                mats_ref, f, i, j, th, tw, npi, npj, span)
+                mats_ref, f, i, j, th, tw, npi, npj, span, apron)
             return (f, byp + dy, bxp + dx)
         return index_map
 
     def make_mmap(dy, dx, plane):
         def index_map(i, j, f, mats_ref):
             byp, bxp, _vb, _ub = _scalar_bases(
-                mats_ref, f, i, j, th, tw, npi, npj, span)
+                mats_ref, f, i, j, th, tw, npi, npj, span, apron)
             return (plane, byp + dy, bxp + dx)
         return index_map
 
@@ -343,7 +381,7 @@ def pallas_warp_combine(
                  for dy in range(3) for dx in range(3)]
 
     kernel = _make_kernel(n, th, tw, span, h0, w0, npi, npj,
-                          float(sigma_lower), float(sigma_upper))
+                          float(sigma_lower), float(sigma_upper), apron)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n_ti, n_tj, n),

@@ -89,3 +89,26 @@ def test_lean_pipeline_matches_standard():
     both = (a != 0) & (b != 0)
     assert np.median(np.abs(a[both] - b[both])) < 1e-3
     assert np.percentile(np.abs(a[both] - b[both]), 99) < 0.1
+
+def test_fused_apron_free_interior_matches():
+    """apron=False skips the padded stack copy; interior pixels (one
+    tile + span away from every edge) must match the apron path."""
+    cal, mats = _make_inputs(n=4, h=96, w=256, seed=7)
+    full = np.asarray(pallas_warp_combine(cal, mats, tile=(32, 64),
+                                          interpret=True))
+    free = np.asarray(pallas_warp_combine(cal, mats, tile=(32, 64),
+                                          apron=False, interpret=True))
+    m = 32 + 12 + 4
+    np.testing.assert_allclose(free[m:-m, m:-m], full[m:-m, m:-m],
+                               rtol=1e-4, atol=0.5)
+    # outside the interior, apron-free only ever drops pixels (zeros),
+    # never invents values
+    diff = (free != full)
+    assert np.all(free[diff] == 0.0)
+
+
+def test_fused_apron_free_needs_three_blocks():
+    cal, mats = _make_inputs(n=2, h=64, w=128, seed=1)
+    with pytest.raises(ValueError):
+        pallas_warp_combine(cal, mats, tile=(32, 64), apron=False,
+                            interpret=True)
