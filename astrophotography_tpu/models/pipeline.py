@@ -68,6 +68,13 @@ class PipelineConfig:
     #: plain per-frame scan measured pathologically slow on TPU)
     detect_mode: str = "vmap"
     detect_chunk: int = 8
+    #: peak ranking: 'global' (exact full-image top_k) or 'tile'
+    #: (strongest peak per 64x256 tile — ~17x cheaper per 16-Mpix frame
+    #: on TPU; registration fields lose only same-tile neighbors)
+    detect_topk: str = "global"
+    #: fused warp+combine kernel tile (rows, cols); bigger tiles cut
+    #: the per-step master/window re-read traffic at the cost of VMEM
+    fused_tile: tuple = (32, 256)
     #: fused-kernel apron: True pads the source stack with a zero apron
     #: (simple, one extra stack copy); False streams tiles straight from
     #: the unpadded stack (memory-critical 100x16-Mpix runs) at the cost
@@ -129,7 +136,8 @@ def calibrate_register_stack(
     def detect(frame, c, s):
         return find_stars(frame - c, fwhm=config.fwhm,
                           threshold=config.detect_nsigma * s,
-                          max_stars=config.max_stars)
+                          max_stars=config.max_stars,
+                          topk_mode=config.detect_topk)
 
     if config.detect_mode == "chunked" and n > config.detect_chunk:
         # Python-unrolled chunks: unlike lax.map (which costs ~100 ms of
@@ -191,7 +199,7 @@ def calibrate_register_stack(
         # no memory pressure, so quietly keep the apron there
         apron = config.fused_apron or cal.shape[1] < 96 or cal.shape[2] < 768
         stacked = pallas_warp_combine(
-            cal, matrices, span=config.warp_span,
+            cal, matrices, span=config.warp_span, tile=config.fused_tile,
             sigma_lower=config.sigma_lower, sigma_upper=config.sigma_upper,
             apron=apron)
         diagnostics = {
@@ -303,7 +311,8 @@ def calibrate_register_stack_lean(
     def detect(frame, ce, s):
         return find_stars(frame - ce, fwhm=config.fwhm,
                           threshold=config.detect_nsigma * s,
-                          max_stars=config.max_stars)
+                          max_stars=config.max_stars,
+                          topk_mode=config.detect_topk)
 
     parts = []
     token = jnp.float32(0.0)
@@ -355,7 +364,8 @@ def calibrate_register_stack_lean(
     apron = config.fused_apron or h < 96 or w < 768
     stacked = pallas_warp_combine(
         frames, matrices, masters=masters, exp_ratios=exp_ratios,
-        span=config.warp_span, sigma_lower=config.sigma_lower,
+        span=config.warp_span, tile=config.fused_tile,
+        sigma_lower=config.sigma_lower,
         sigma_upper=config.sigma_upper, apron=apron)
     diagnostics = {
         "scale": sims.scale, "theta": sims.theta,

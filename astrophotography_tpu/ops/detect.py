@@ -93,7 +93,8 @@ def _conv2d_same(img: jnp.ndarray, kernel: jnp.ndarray) -> jnp.ndarray:
     return out
 
 
-@functools.partial(jax.jit, static_argnames=("fwhm", "max_stars", "border"))
+@functools.partial(jax.jit, static_argnames=("fwhm", "max_stars", "border",
+                                              "topk_mode"))
 def find_stars(
     data: jnp.ndarray,
     fwhm: float = 3.0,
@@ -101,12 +102,19 @@ def find_stars(
     max_stars: int = 1024,
     mask: Optional[jnp.ndarray] = None,
     border: int = 2,
+    topk_mode: str = "global",
 ) -> Stars:
     """Detect star-like sources in background-subtracted data.
 
     ``threshold`` is in amplitude (density) units — pass
     ``nsigma * bg_stddev`` to match the reference invocation
     (core/ApFindStars.py:305-309).  ``mask`` True = excluded pixel.
+
+    ``topk_mode``: 'global' ranks every peak exactly;  'tile' keeps
+    only the strongest peak per 64x256 tile before ranking — a
+    full-image top_k costs ~17 ms/16-Mpix frame on a v5e while the
+    tile reduction is ~1 ms, and registration-grade fields (tens of
+    stars per frame) lose at most the occasional same-tile neighbor.
     """
     data = data.astype(jnp.float32)
     h, w = data.shape
@@ -130,7 +138,27 @@ def find_stars(
     is_peak = (dens > neigh_max) & (dens > threshold) & bmask
 
     score = jnp.where(is_peak, dens, -jnp.inf)
-    if h % 2 == 0:
+    tth, ttw = 64, 256
+    if (topk_mode == "tile" and h % tth == 0 and w % ttw == 0
+            and (h // tth) * (w // ttw) >= max_stars):
+        # strongest peak per (64, 256) tile, then a tiny cross-tile
+        # top_k.  The within-tile argmax is recovered with iota-select
+        # (reductions over sublane axis 1 and lane axis 3 of the
+        # reshape — no strided slices, no gathers).
+        s4 = score.reshape(h // tth, tth, w // ttw, ttw)
+        m = jnp.max(s4, axis=(1, 3))
+        ly = jax.lax.broadcasted_iota(jnp.int32, s4.shape, 1)
+        lx = jax.lax.broadcasted_iota(jnp.int32, s4.shape, 3)
+        hit = s4 == m[:, None, :, None]
+        enc = jnp.where(hit, ly * ttw + lx, jnp.int32(2 ** 30))
+        loc = jnp.min(enc, axis=(1, 3))
+        top_vals, tidx = jax.lax.top_k(m.reshape(-1), max_stars)
+        valid = jnp.isfinite(top_vals)
+        ntj = w // ttw
+        l = jnp.take(loc.reshape(-1), tidx)
+        py = (tidx // ntj) * tth + l // ttw
+        px = (tidx % ntj) * ttw + l % ttw
+    elif h % 2 == 0:
         # two vertically adjacent strict 3x3 maxima are impossible, so a
         # pairwise row max halves the top_k input without losing any
         # candidate.  Only the SUBLANE axis is strided: lane-axis

@@ -27,6 +27,7 @@ def _attempt(n_frames: int, size: int, repeats: int,
     import jax.numpy as jnp
 
     from astrophotography_tpu.models import PipelineConfig, calibrate_register_stack
+    from astrophotography_tpu.models.pipeline import calibrate_register_stack_lean
     from astrophotography_tpu import synth
 
     rng = np.random.default_rng(0)
@@ -53,6 +54,36 @@ def _attempt(n_frames: int, size: int, repeats: int,
                             + bias, 0, 65535).astype(np.uint16)
 
     n_bands = int(os.environ.get("BENCH_BANDS", "0"))
+    if combine_impl == "lean":
+        # memory-lean path: raw uint16 stack + in-kernel calibration,
+        # apron-free fused warp+combine, tile-mode peak ranking — the
+        # only configuration that fits 100x16-Mpix on one chip
+        cfg = PipelineConfig(max_stars=48, match_k=10,
+                             detect_mode="chunked", detect_chunk=4,
+                             detect_topk="tile", fused_apron=False)
+        frames_d = jnp.asarray(frames)
+        bias_d = jnp.asarray(bias)
+
+        def run_lean():
+            stacked, _ = calibrate_register_stack_lean(frames_d, bias=bias_d,
+                                                       config=cfg)
+            return float(jnp.sum(stacked))
+
+        run_lean()
+        times = []
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            run_lean()
+            times.append(time.perf_counter() - t0)
+        best = min(times)
+        gpix = n_frames * size * size / best / 1e9
+        return {
+            "metric": f"calibrate+register+stack GPix/s ({n_frames}x{size}^2"
+                      f" lean, {jax.devices()[0].device_kind})",
+            "value": round(gpix, 3),
+            "unit": "GPix/s",
+            "vs_baseline": round(gpix / 5.0, 3),
+        }
     if combine_impl == "fused":
         # the fused warp+combine kernel never materializes stack-sized
         # temporaries, so banding is unnecessary at any size
@@ -100,15 +131,22 @@ def main() -> int:
     repeats = int(os.environ.get("BENCH_REPEATS", "3"))
     if "BENCH_FRAMES" in os.environ or "BENCH_SIZE" in os.environ:
         ladder = [(int(os.environ.get("BENCH_FRAMES", "40")),
-                   int(os.environ.get("BENCH_SIZE", "2048")))]
+                   int(os.environ.get("BENCH_SIZE", "2048")),
+                   ("lean", "pallas", "fused", "xla"))]
     else:
-        # fall back to smaller configs on OOM or other device failures so
-        # the driver always records a number; the lead config uses the
-        # reference's 16-Mpix frame geometry (BASELINE.md)
-        ladder = [(24, 4096), (40, 2048), (16, 2048), (16, 1024), (8, 1024)]
+        # the lead config is the BASELINE.md north star — the full
+        # 100x16-Mpix stack, which only the memory-lean path fits on one
+        # chip; then fall back to smaller configs on OOM or other device
+        # failures so the driver always records a number
+        ladder = [(100, 4096, ("lean",)),
+                  (24, 4096, ("pallas", "fused")),
+                  (40, 2048, ("pallas", "fused")),
+                  (16, 2048, ("pallas", "fused", "xla")),
+                  (16, 1024, ("pallas", "fused", "xla")),
+                  (8, 1024, ("pallas", "fused", "xla"))]
     last_err = None
-    for n_frames, size in ladder:
-        for impl in ("pallas", "fused", "xla"):
+    for n_frames, size, impls in ladder:
+        for impl in impls:
             try:
                 result = _attempt(n_frames, size, repeats, combine_impl=impl)
                 print(json.dumps(result))

@@ -154,3 +154,35 @@ def test_source_mask_covers_stars():
     assert m[48, 48]
     assert m[44:53, 44:53].all()  # core + dilation covered
     assert m.mean() < 0.2         # but not the whole image
+
+
+def test_tile_topk_matches_global_sparse():
+    """topk_mode='tile' finds the same stars as 'global' when stars are
+    at most one per 64x256 tile (the registration regime)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from astrophotography_tpu import synth
+    from astrophotography_tpu.ops.detect import find_stars
+
+    rng = np.random.default_rng(11)
+    h, w = 256, 512
+    img = rng.normal(0, 3, (h, w)).astype(np.float32)
+    # one star per tile quadrant, well separated
+    truth = []
+    for ty in range(h // 64):
+        for tx in range(w // 256):
+            x = tx * 256 + rng.uniform(60, 200)
+            y = ty * 64 + rng.uniform(16, 48)
+            img[int(y)-12:int(y)+13, int(x)-12:int(x)+13] += synth.gaussian_star(
+                (25, 25), x - int(x) + 12, y - int(y) + 12, 30000.0, 3.0)
+            truth.append((x, y))
+    g = find_stars(jnp.asarray(img), fwhm=3.0, threshold=100.0, max_stars=16)
+    t = find_stars(jnp.asarray(img), fwhm=3.0, threshold=100.0, max_stars=16,
+                   topk_mode="tile")
+    ng, nt = int(g.count), int(t.count)
+    assert nt == ng == len(truth)
+    gs = sorted(zip(np.asarray(g.x)[np.asarray(g.valid)],
+                    np.asarray(g.y)[np.asarray(g.valid)]))
+    ts = sorted(zip(np.asarray(t.x)[np.asarray(t.valid)],
+                    np.asarray(t.y)[np.asarray(t.valid)]))
+    np.testing.assert_allclose(ts, gs, atol=1e-3)
