@@ -40,6 +40,9 @@ def parse(argv: Optional[List[str]]) -> argparse.Namespace:
     p.add_argument("--stack_sigma", type=float, default=5.0)
     p.add_argument("--stack_combine", default="average",
                    choices=["average", "median", "sum"])
+    p.add_argument("--profile", default=None, metavar="DIR",
+                   help="capture a jax.profiler trace of the reduction "
+                        "into DIR (view with TensorBoard / xprof)")
     p.add_argument("--watch", type=float, default=None, metavar="SECONDS",
                    help="run continuously: rescan the data directory every "
                         "SECONDS and reduce new frames (noclean skips "
@@ -60,7 +63,16 @@ def run(ns: argparse.Namespace) -> None:
         quality=not ns.no_quality,
         stack=not ns.no_stack)
     if ns.watch is None:
-        reduce_all(ns.datadir, ns.caldir, ns.outdir, cfg)
+        if ns.profile:
+            # structured tracing (SURVEY.md §5 "tracing/profiling": the
+            # reference only has ad-hoc perf_counter logs; on TPU the
+            # profiler captures per-op device timelines)
+            import jax
+
+            with jax.profiler.trace(ns.profile):
+                reduce_all(ns.datadir, ns.caldir, ns.outdir, cfg)
+        else:
+            reduce_all(ns.datadir, ns.caldir, ns.outdir, cfg)
         return
     # continuous mode: incoming frames are reduced as they appear; the
     # skip-existing idempotency makes each sweep incremental

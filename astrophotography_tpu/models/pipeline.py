@@ -72,9 +72,9 @@ class PipelineConfig:
     #: (strongest peak per 64x256 tile — ~17x cheaper per 16-Mpix frame
     #: on TPU; registration fields lose only same-tile neighbors)
     detect_topk: str = "global"
-    #: fused warp+combine kernel tile (rows, cols); bigger tiles cut
-    #: the per-step master/window re-read traffic at the cost of VMEM
-    fused_tile: tuple = (32, 256)
+    #: fused warp+combine kernel tile (rows, cols); None = auto-size
+    #: the tile height to the frame count (VMEM/compile ceiling)
+    fused_tile: "tuple | None" = None
     #: fused-kernel apron: True pads the source stack with a zero apron
     #: (simple, one extra stack copy); False streams tiles straight from
     #: the unpadded stack (memory-critical 100x16-Mpix runs) at the cost

@@ -278,7 +278,7 @@ def pallas_warp_combine(
     matrices: jnp.ndarray,
     masters: "jnp.ndarray | None" = None,
     exp_ratios: "jnp.ndarray | None" = None,
-    tile: Tuple[int, int] = (32, 256),
+    tile: "Tuple[int, int] | None" = None,
     span: int = 12,
     sigma_lower: float = 5.0,
     sigma_upper: float = 5.0,
@@ -307,6 +307,13 @@ def pallas_warp_combine(
                                    sigma_upper=sigma_upper, apron=apron,
                                    interpret=True)
     n, h0, w0 = cal.shape
+    if tile is None:
+        # auto tile height: the persistent warped-rows scratch is
+        # n*th*tw*4 bytes and its sort temporaries set the compile
+        # ceiling (measured: (64,256) ok to n<=48, (40,256) ok at
+        # n=100, (48,256) fails at n=100; tw>256 fails at any n)
+        th = min(64, max(16, (4_200_000 // (max(n, 1) * 256 * 4)) // 8 * 8))
+        tile = (th, 256)
     th, tw = tile
     if th <= span:
         raise ValueError("tile height must exceed span")

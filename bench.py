@@ -43,14 +43,19 @@ def _attempt(n_frames: int, size: int, repeats: int,
         patch = synth.gaussian_star((25, 25), x - x0, y - y0, f, 3.0)
         base[y0:y0 + 25, x0:x0 + 25] += patch
     # frames in uint16, as real detectors deliver them (the pipeline
-    # converts on device; halves the resident input stack)
+    # converts on device; halves the resident input stack).  A small
+    # bank of pre-generated noise fields keeps host-side construction
+    # fast for the 100x16-Mpix lead config (fresh 16-Mpix gaussians per
+    # frame would cost minutes; throughput is value-independent)
     frames = np.empty((n_frames, size, size), np.uint16)
     bias = np.full((size, size), 300.0, np.float32)
+    noise_bank = [rng.normal(0, 8.0, (size, size)).astype(np.float32)
+                  for _ in range(min(4, n_frames))]
     for i in range(n_frames):
         dx, dy = (rng.uniform(-4, 4, 2) if i else (0.0, 0.0))
         shifted = np.roll(np.roll(base, int(round(dy)), axis=0),
                           int(round(dx)), axis=1)
-        frames[i] = np.clip(shifted + rng.normal(0, 8.0, (size, size))
+        frames[i] = np.clip(shifted + noise_bank[i % len(noise_bank)]
                             + bias, 0, 65535).astype(np.uint16)
 
     n_bands = int(os.environ.get("BENCH_BANDS", "0"))
