@@ -109,7 +109,18 @@ def find_masters(caldir: str, filt: Optional[str] = None) -> Dict[str, Optional[
     flat = None
     if filt:
         flat = first(f"master_flat_{filt}*.fits", f"master_flat-{filt}*.fits")
-    if flat is None:
+        if flat is None:
+            # Only the exact unfiltered name is a safe fallback; a glob
+            # would silently match another filter's flat (e.g.
+            # master_flat_R.fits applied to a V-band group).
+            flat = first("master_flat.fits")
+            others = glob.glob(os.path.join(caldir, "master_flat*.fits"))
+            if flat is None and others:
+                logger.warning(
+                    f"No master flat for filter {filt!r} in {caldir} "
+                    f"(found only {sorted(os.path.basename(p) for p in others)}); "
+                    "skipping flat correction")
+    else:
         flat = first("master_flat.fits", "master_flat*.fits")
     return {
         "bias": first("master_bias*.fits"),

@@ -509,6 +509,16 @@ class HDUList(list):
     def writeto(self, path: str, overwrite: bool = True) -> None:
         if not overwrite and os.path.exists(path):
             raise FileExistsError(path)
+        raw = self.tobytes()
+        if path.endswith(".gz") or path.endswith(".ftz"):
+            with gzip.open(path, "wb") as fh:
+                fh.write(raw)
+        else:
+            with open(path, "wb") as fh:
+                fh.write(raw)
+
+    def tobytes(self) -> bytes:
+        """Serialize the HDU list to in-memory FITS bytes."""
         buf = _io.BytesIO()
         for i, hdu in enumerate(self):
             meta, payload = hdu._data_bytes()
@@ -537,13 +547,7 @@ class HDUList(list):
             buf.write(full._cards_bytes())
             buf.write(payload)
             buf.write(b"\0" * ((-len(payload)) % BLOCK))
-        raw = buf.getvalue()
-        if path.endswith(".gz") or path.endswith(".ftz"):
-            with gzip.open(path, "wb") as fh:
-                fh.write(raw)
-        else:
-            with open(path, "wb") as fh:
-                fh.write(raw)
+        return buf.getvalue()
 
 
 # --------------------------------------------------------------------------
@@ -653,9 +657,12 @@ def read_image(
     if as_float32 and data.dtype != np.float32:
         data = data.astype(np.float32)
     if remove_pedestal and "PEDESTAL" in header:
+        # MaximDL convention (reference core/ApCalibrate.py:316-326): the
+        # PEDESTAL keyword holds the value to ADD to the data to remove
+        # the pedestal offset.
         pedestal = float(header["PEDESTAL"])
         if pedestal != 0:
-            data = data - np.float32(pedestal)
+            data = data + np.float32(pedestal)
             del header["PEDESTAL"]
             header.add_history(f"Removed PEDESTAL of {pedestal} ADU from data")
     return data, header

@@ -80,46 +80,102 @@ def generate_hints(
     return hints
 
 
+def xylist_fits_bytes(x, y) -> bytes:
+    """Source list as an astrometry.net FITS xylist (in-memory bytes).
+
+    The xylist convention is a binary table extension with float64
+    X and Y columns holding 1-based pixel coordinates, rows sorted
+    brightest first — which ap_find_stars' AP_XYPOS table already is
+    (reference core/ApFindStars.py:643-648).
+    """
+    from ..io.fits import BinTableHDU, HDUList, ImageHDU
+
+    tbl = BinTableHDU({"X": np.asarray(x, np.float64),
+                       "Y": np.asarray(y, np.float64)}, name="XYLIST")
+    return HDUList([ImageHDU(None), tbl]).tobytes()
+
+
+def _multipart_body(fields: Dict[str, str], file_field: str,
+                    filename: str, file_bytes: bytes):
+    """Encode a multipart/form-data body (text fields + one file part)."""
+    import uuid
+
+    boundary = uuid.uuid4().hex
+    buf = bytearray()
+    for name, value in fields.items():
+        buf += (f"--{boundary}\r\n"
+                f'Content-Disposition: form-data; name="{name}"\r\n\r\n'
+                f"{value}\r\n").encode()
+    buf += (f"--{boundary}\r\n"
+            f'Content-Disposition: form-data; name="{file_field}"; '
+            f'filename="{filename}"\r\n'
+            "Content-Type: application/octet-stream\r\n\r\n").encode()
+    buf += file_bytes
+    buf += f"\r\n--{boundary}--\r\n".encode()
+    return bytes(buf), f"multipart/form-data; boundary={boundary}"
+
+
 def nova_transport(api_key: str) -> Transport:
-    """Real nova.astrometry.net transport (network; solve-from-source-list
-    protocol).  Constructed lazily so offline use never imports urllib."""
+    """Real nova.astrometry.net transport (network).
+
+    Implements the same protocol astroquery's ``solve_from_source_list``
+    uses on behalf of the reference (core/ApAstrometry.py:398-409):
+    login via request-json form post, then a multipart ``api/upload``
+    whose file part is the source list as a FITS xylist binary table
+    (nova has no JSON xylist endpoint), then submission/job polling and
+    a final ``jobs/<id>/calibration`` fetch.  Constructed lazily so
+    offline use never imports urllib.
+    """
 
     def solve(x, y, width, height, hints, timeout=DEFAULT_TIMEOUT):
         import json
+        import urllib.parse
         import urllib.request
 
-        base = "http://nova.astrometry.net/api/"
+        base = "https://nova.astrometry.net/api/"
 
-        def post(path, payload, files=None):
-            data = ("request-json=" + json.dumps(payload)).encode()
+        def post_json(path, payload):
+            data = urllib.parse.urlencode(
+                {"request-json": json.dumps(payload)}).encode()
             req = urllib.request.Request(base + path, data=data)
             with urllib.request.urlopen(req, timeout=30) as resp:
                 return json.loads(resp.read())
 
-        login = post("login", {"apikey": api_key})
+        def get(path):
+            with urllib.request.urlopen(base + path, timeout=30) as resp:
+                return json.loads(resp.read())
+
+        login = post_json("login", {"apikey": api_key})
         if login.get("status") != "success":
             raise RuntimeError(f"astrometry.net login failed: {login}")
         session = login["session"]
-        # upload the x,y list as a text payload
-        sub = post("url_upload", {
+        upload_args = {
             "session": session,
-            "x": list(map(float, x)),
-            "y": list(map(float, y)),
             "image_width": int(width),
             "image_height": int(height),
-            "parity": 2,
+            "parity": 2,            # reference core/ApAstrometry.py:401
             "crpix_center": True,
             **hints,
-        })
-        subid = sub.get("subid")
+        }
+        body, content_type = _multipart_body(
+            {"request-json": json.dumps(upload_args)},
+            "file", "sources.xyls", xylist_fits_bytes(x, y))
+        req = urllib.request.Request(
+            base + "upload", data=body,
+            headers={"Content-Type": content_type})
+        with urllib.request.urlopen(req, timeout=60) as resp:
+            sub = json.loads(resp.read())
+        if sub.get("status") != "success":
+            raise RuntimeError(f"astrometry.net upload failed: {sub}")
+        subid = sub["subid"]
         t0 = time.time()
         while time.time() - t0 < timeout:
-            status = post(f"submissions/{subid}", {})
+            status = get(f"submissions/{subid}")
             jobs = [j for j in status.get("jobs", []) if j]
             for job in jobs:
-                jstat = post(f"jobs/{job}", {})
+                jstat = get(f"jobs/{job}")
                 if jstat.get("status") == "success":
-                    cal = post(f"jobs/{job}/calibration", {})
+                    cal = get(f"jobs/{job}/calibration")
                     return _calibration_to_wcs(cal, width, height)
                 if jstat.get("status") == "failure":
                     return None

@@ -101,9 +101,10 @@ def test_multi_hdu_and_bintable(tmp_path):
 
 def test_read_image_semantics(tmp_path):
     """read_image converts to float32 and removes PEDESTAL (reference
-    core/ApCalibrate.py:260-328)."""
+    core/ApCalibrate.py:260-328: PEDESTAL is the value to ADD to the
+    data to remove the MaximDL offset)."""
     hdr = Header()
-    hdr["PEDESTAL"] = 100
+    hdr["PEDESTAL"] = -100
     data = np.full((6, 6), 1100, dtype=np.uint16)
     path = str(tmp_path / "ped.fits")
     write_image(path, data, hdr)

@@ -26,3 +26,26 @@ def test_corrupt_frame_isolated(tmp_path):
             f"one corrupt frame killed the whole run: {exc}")
     assert len(produced["stacks"]) == 1
     assert len(produced["calibrated"]) >= 3
+
+
+def test_find_masters_no_cross_filter_flat(tmp_path):
+    """A V-band group must never pick up another filter's flat
+    (only the exact unfiltered master_flat.fits is a safe fallback)."""
+    from astrophotography_tpu.core.reduce import find_masters
+
+    caldir = tmp_path / "cal"
+    caldir.mkdir()
+    for name in ("master_bias.fits", "master_dark.fits",
+                 "master_flat_R.fits"):
+        (caldir / name).write_bytes(b"")
+    m = find_masters(str(caldir), filt="V")
+    assert m["flat"] is None
+    assert m["bias"] is not None
+    # exact unfiltered fallback is allowed
+    (caldir / "master_flat.fits").write_bytes(b"")
+    m = find_masters(str(caldir), filt="V")
+    assert m["flat"].endswith("master_flat.fits")
+    # and the filter-specific flat wins when present
+    (caldir / "master_flat_V.fits").write_bytes(b"")
+    m = find_masters(str(caldir), filt="V")
+    assert m["flat"].endswith("master_flat_V.fits")

@@ -178,3 +178,34 @@ def test_solve_from_reference_registration():
         ra_tgt, dec_tgt = tgt_wcs.pix2world(float(mx) + 1.0, float(my) + 1.0)
         assert float(ra_tgt) == pytest.approx(float(ra_ref), abs=3e-5)
         assert float(dec_tgt) == pytest.approx(float(dec_ref), abs=3e-5)
+
+
+def test_xylist_fits_bytes_roundtrip(tmp_path):
+    """The nova upload payload is a valid FITS xylist binary table."""
+    from astrophotography_tpu.io.fits import open_fits
+    from astrophotography_tpu.wcs.astrometry import xylist_fits_bytes
+
+    x = np.array([10.5, 200.0, 3000.25])
+    y = np.array([20.0, 150.5, 900.75])
+    raw = xylist_fits_bytes(x, y)
+    path = tmp_path / "sources.xyls"
+    path.write_bytes(raw)
+    hdus = open_fits(str(path))
+    tbl = hdus["XYLIST"]
+    np.testing.assert_allclose(np.asarray(tbl["X"]), x)
+    np.testing.assert_allclose(np.asarray(tbl["Y"]), y)
+    assert np.asarray(tbl["X"]).dtype == np.float64
+
+
+def test_multipart_body_format():
+    from astrophotography_tpu.wcs.astrometry import _multipart_body
+
+    body, ctype = _multipart_body({"request-json": '{"a": 1}'},
+                                  "file", "sources.xyls", b"\x00\x01FITS")
+    assert ctype.startswith("multipart/form-data; boundary=")
+    boundary = ctype.split("boundary=")[1]
+    assert body.startswith(f"--{boundary}\r\n".encode())
+    assert body.endswith(f"\r\n--{boundary}--\r\n".encode())
+    assert b'name="request-json"' in body
+    assert b'filename="sources.xyls"' in body
+    assert b"\x00\x01FITS" in body
