@@ -303,6 +303,11 @@ class ImageHDU:
             return hdr, b""
         data = np.asarray(self.data)
         bzero = 0
+        if data.dtype == np.dtype("i1"):
+            # FITS has no signed 8-bit type; the convention is BITPIX 8
+            # with BZERO=-128 (stored = value + 128 as unsigned)
+            bzero = -128
+            data = (data.view("u1") + np.uint8(128)).astype("u1")
         if data.dtype.kind == "u" and data.dtype.itemsize > 1:
             size = data.dtype.itemsize
             bzero = _UNSIGNED_BZERO[size]
@@ -607,6 +612,9 @@ def open_fits(path: str) -> HDUList:
                         size = bitpix // 8
                         data = (data.astype(f"i{size}").view(f"u{size}")
                                 + np.array(bzero, dtype=f"u{size}"))
+                    elif bitpix == 8 and bscale == 1 and bzero == -128:
+                        # signed-byte convention: value = stored - 128
+                        data = (data - np.uint8(128)).view("i1")
                     elif bscale != 1 or bzero != 0:
                         data = data * float(bscale) + float(bzero)
                     else:

@@ -143,47 +143,118 @@ def _canonical_codes(counts: List[int], symbols: List[int]):
     return codes
 
 
+_PRED_FUNCS = {
+    1: lambda Ra, Rb, Rc: Ra,
+    2: lambda Ra, Rb, Rc: Rb,
+    3: lambda Ra, Rb, Rc: Rc,
+    4: lambda Ra, Rb, Rc: Ra + Rb - Rc,
+    5: lambda Ra, Rb, Rc: Ra + ((Rb - Rc) >> 1),
+    6: lambda Ra, Rb, Rc: Rb + ((Ra - Rc) >> 1),
+    7: lambda Ra, Rb, Rc: (Ra + Rb) >> 1,
+}
+
+
+def _predict_diffs_general(samples: np.ndarray, precision: int,
+                           predictor: int,
+                           restart_interval: int) -> List[np.ndarray]:
+    """Per-restart-interval difference lists with ITU-T81 H.2 prediction:
+    the first line from the scan start / each restart origin uses the 1-D
+    left predictor with a defaulted first sample; other rows start from
+    Rb and use the selected predictor elsewhere."""
+    h, jw, ncomp = samples.shape
+    default = 1 << (precision - 1)
+    pred_fn = _PRED_FUNCS[predictor]
+    intervals: List[np.ndarray] = []
+    cur: List[int] = []
+    restart_row, restart_col = 0, 0
+    mcu = 0
+    for row in range(h):
+        for col in range(jw):
+            for c in range(ncomp):
+                if row == restart_row and col >= restart_col:
+                    pred = default if col == restart_col else int(
+                        samples[row, col - 1, c])
+                elif col == 0:
+                    pred = int(samples[row - 1, 0, c])
+                else:
+                    pred = pred_fn(int(samples[row, col - 1, c]),
+                                   int(samples[row - 1, col, c]),
+                                   int(samples[row - 1, col - 1, c]))
+                cur.append(int(samples[row, col, c]) - pred)
+            if restart_interval:
+                mcu += 1
+                if mcu == restart_interval and not (row == h - 1
+                                                    and col == jw - 1):
+                    intervals.append(np.asarray(cur, np.int64))
+                    cur = []
+                    mcu = 0
+                    restart_row = row + 1 if col == jw - 1 else row
+                    restart_col = 0 if col == jw - 1 else col + 1
+    intervals.append(np.asarray(cur, np.int64))
+    return intervals
+
+
 def encode_lossless_jpeg(mosaic: np.ndarray, precision: int = 16,
-                         ncomp: int = 1) -> bytes:
-    """Encode an (H, W) uint16 array as lossless JPEG (predictor 1).
+                         ncomp: int = 1, predictor: int = 1,
+                         restart_interval: int = 0) -> bytes:
+    """Encode an (H, W) uint16 array as lossless JPEG.
 
     ``ncomp`` splits each row into interleaved components (CR2-style
-    2/4-component layouts); W must be divisible by ncomp.
+    2/4-component layouts); W must be divisible by ncomp.  ``predictor``
+    selects the ITU-T81 H.1 prediction mode 1-7; ``restart_interval``
+    (in MCUs/samples) inserts DRI/RSTn markers with spec-conformant
+    prediction resets — mainly for decoder tests.
     """
     mosaic = np.ascontiguousarray(mosaic, dtype=np.uint16)
     h, w = mosaic.shape
     if w % ncomp:
         raise ValueError(f"width {w} not divisible by ncomp {ncomp}")
+    if predictor not in _PRED_FUNCS:
+        raise ValueError(f"predictor must be 1-7, got {predictor}")
     jw = w // ncomp
     samples = mosaic.reshape(h, jw, ncomp).astype(np.int32)
 
-    # differences, predictor 1 (left; above for col 0; default at origin)
-    diffs = np.zeros_like(samples)
-    diffs[0, 0, :] = samples[0, 0, :] - (1 << (precision - 1))
-    diffs[0, 1:, :] = samples[0, 1:, :] - samples[0, :-1, :]
-    diffs[1:, 0, :] = samples[1:, 0, :] - samples[:-1, 0, :]
-    diffs[1:, 1:, :] = samples[1:, 1:, :] - samples[1:, :-1, :]
+    if predictor == 1 and not restart_interval:
+        # vectorized fast path (left; above for col 0; default at origin)
+        diffs = np.zeros_like(samples)
+        diffs[0, 0, :] = samples[0, 0, :] - (1 << (precision - 1))
+        diffs[0, 1:, :] = samples[0, 1:, :] - samples[0, :-1, :]
+        diffs[1:, 0, :] = samples[1:, 0, :] - samples[:-1, 0, :]
+        diffs[1:, 1:, :] = samples[1:, 1:, :] - samples[1:, :-1, :]
+        intervals = [diffs.reshape(-1).astype(np.int64)]
+    else:
+        intervals = _predict_diffs_general(samples, precision, predictor,
+                                           restart_interval)
 
     # lossless JPEG differences are modulo 2^16, mapped to
     # [-32768, 32767]; exactly -32768 is the bit-less ssss=16 category
-    flat = ((diffs.reshape(-1) + 32768) % 65536) - 32768
-    mags = np.abs(flat)
-    ssss = np.zeros(flat.shape, np.int32)
-    nz = mags > 0
-    ssss[nz] = np.floor(np.log2(mags[nz])).astype(np.int32) + 1
-    max_ssss = int(ssss.max(initial=0))
+    def to_ssss(flat):
+        flat = ((flat + 32768) % 65536) - 32768
+        mags = np.abs(flat)
+        ssss = np.zeros(flat.shape, np.int32)
+        nz = mags > 0
+        ssss[nz] = np.floor(np.log2(mags[nz])).astype(np.int32) + 1
+        return flat, ssss
+
+    mapped = [to_ssss(iv) for iv in intervals]
+    max_ssss = max((int(s.max(initial=0)) for _, s in mapped), default=0)
 
     counts, symbols = _build_huffman_spec(max(max_ssss, 1))
     codes = _canonical_codes(counts, symbols)
 
-    bw = _BitWriter()
-    for d, s in zip(flat.tolist(), ssss.tolist()):
-        code, length = codes[s]
-        bw.put(code, length)
-        if s and s < 16:  # ssss=16 (diff -32768) carries no extra bits
-            v = d if d >= 0 else d + (1 << s) - 1
-            bw.put(v & ((1 << s) - 1), s)
-    entropy = bw.flush()
+    chunks = []
+    for flat, ssss in mapped:
+        bw = _BitWriter()
+        for d, s in zip(flat.tolist(), ssss.tolist()):
+            code, length = codes[s]
+            bw.put(code, length)
+            if s and s < 16:  # ssss=16 (diff -32768) carries no extra bits
+                v = d if d >= 0 else d + (1 << s) - 1
+                bw.put(v & ((1 << s) - 1), s)
+        chunks.append(bw.flush())
+    entropy = chunks[0]
+    for i, chunk in enumerate(chunks[1:]):
+        entropy += bytes([0xFF, 0xD0 + (i % 8)]) + chunk
 
     def seg(marker: int, payload: bytes) -> bytes:
         return bytes([0xFF, marker]) + (len(payload) + 2).to_bytes(2, "big") \
@@ -194,7 +265,9 @@ def encode_lossless_jpeg(mosaic: np.ndarray, precision: int = 16,
     sof = bytes([precision]) + h.to_bytes(2, "big") + jw.to_bytes(2, "big") \
         + bytes([ncomp]) + sof_comps
     sos_comps = b"".join(bytes([i + 1, 0x00]) for i in range(ncomp))
-    sos = bytes([ncomp]) + sos_comps + bytes([1, 0, 0])  # predictor 1, pt 0
+    sos = bytes([ncomp]) + sos_comps + bytes([predictor, 0, 0])  # pt 0
+    dri = seg(0xDD, restart_interval.to_bytes(2, "big")) \
+        if restart_interval else b""
 
-    return (b"\xFF\xD8" + seg(0xC4, dht) + seg(0xC3, sof) + seg(0xDA, sos)
-            + entropy + b"\xFF\xD9")
+    return (b"\xFF\xD8" + seg(0xC4, dht) + dri + seg(0xC3, sof)
+            + seg(0xDA, sos) + entropy + b"\xFF\xD9")

@@ -212,7 +212,13 @@ int lljpeg_decode(const uint8_t* data, size_t size, uint16_t* out,
     std::vector<int> diff(ncomp);
 
     int mcu_count = 0;
-    bool just_restarted = false;
+    // Prediction origin: at the start of the scan and after each restart
+    // marker, prediction restarts as at the start of a scan (ITU-T81
+    // H.2.2): the first line from the origin uses the 1-D left predictor
+    // (Ra), its first sample the default 2^(P-Pt-1).  (restart_row,
+    // restart_col) is the origin; decoding is sequential, so samples
+    // before the origin in the same row are already written.
+    int restart_row = 0, restart_col = 0;
     for (int row = 0; row < height; ++row) {
         uint16_t* cur = out + static_cast<size_t>(row) * rowlen;
         const uint16_t* prev = out + static_cast<size_t>(row - 1) * rowlen;
@@ -220,12 +226,13 @@ int lljpeg_decode(const uint8_t* data, size_t size, uint16_t* out,
             for (int c = 0; c < ncomp; ++c) {
                 int d = decode_diff(br, tables[comp_table[c]]);
                 int pred;
-                if ((row == 0 && col == 0) || just_restarted) {
-                    pred = default_pred;
+                if (row == restart_row && col >= restart_col) {
+                    // first line of the scan / restart interval
+                    pred = (col == restart_col)
+                               ? default_pred
+                               : cur[(col - 1) * ncomp + c];  // Ra
                 } else if (col == 0) {
                     pred = prev[c];  // first sample of row: above (Rb)
-                } else if (row == 0) {
-                    pred = cur[(col - 1) * ncomp + c];  // left (Ra)
                 } else {
                     int Ra = cur[(col - 1) * ncomp + c];
                     int Rb = prev[col * ncomp + c];
@@ -244,16 +251,16 @@ int lljpeg_decode(const uint8_t* data, size_t size, uint16_t* out,
                 int val = (pred + d) & 0xFFFF;
                 cur[col * ncomp + c] = static_cast<uint16_t>(val << pt);
             }
-            just_restarted = false;
             if (restart_interval) {
                 ++mcu_count;
                 if (mcu_count == restart_interval &&
                     !(row == height - 1 && col == width - 1)) {
                     br.restart_sync();
                     mcu_count = 0;
-                    // predictors reset at each restart interval
-                    // (ITU-T81 H.2.2): next MCU uses the default
-                    just_restarted = true;
+                    // prediction restarts as at a new scan from the
+                    // next sample (ITU-T81 H.2.2)
+                    restart_row = (col == width - 1) ? row + 1 : row;
+                    restart_col = (col == width - 1) ? 0 : col + 1;
                 }
             }
         }

@@ -142,3 +142,14 @@ def test_empty_primary_with_table(tmp_path):
     back = open_fits(path)
     assert back[0].data is None
     np.testing.assert_allclose(back["T"]["V"], [1.0, 2.0])
+
+
+def test_int8_image_roundtrip(tmp_path):
+    """int8 images use the FITS signed-byte convention (BITPIX 8,
+    BZERO=-128) instead of silently wrapping negatives."""
+    data = np.array([[-128, -1, 0], [1, 127, -42]], dtype=np.int8)
+    path = str(tmp_path / "i8.fits")
+    write_image(path, data)
+    out, _ = read_image(path, as_float32=False)
+    assert out.dtype == np.int8
+    np.testing.assert_array_equal(out, data)

@@ -80,3 +80,39 @@ def test_compressed_dng_roundtrip(tmp_path):
     open(comp, "wb").write(out)
     raw = load_dng(comp)
     np.testing.assert_array_equal(raw.mosaic, mosaic)
+
+
+@pytest.mark.parametrize("predictor", [1, 2, 4, 5, 6, 7])
+def test_roundtrip_predictors(predictor):
+    rng = np.random.default_rng(3)
+    yy, xx = np.mgrid[0:24, 0:40]
+    mosaic = ((yy * 31 + xx * 7) % 60000 +
+              rng.integers(0, 64, (24, 40))).astype(np.uint16)
+    payload = encode_lossless_jpeg(mosaic, predictor=predictor)
+    back = decode_lossless_jpeg(payload, 24, 40)
+    np.testing.assert_array_equal(back, mosaic)
+
+
+@pytest.mark.parametrize("predictor", [1, 2, 4, 5, 6, 7])
+@pytest.mark.parametrize("interval", [7, 40, 64, 100])
+def test_roundtrip_restart_markers(predictor, interval):
+    """DRI streams: prediction must restart per T.81 H.2.2 (first line
+    after each restart uses the 1-D left predictor, defaulted first
+    sample) for every predictor mode, including intervals that end
+    mid-row and exactly at row boundaries."""
+    rng = np.random.default_rng(predictor * 100 + interval)
+    mosaic = rng.integers(0, 65536, (16, 40)).astype(np.uint16)
+    payload = encode_lossless_jpeg(mosaic, predictor=predictor,
+                                   restart_interval=interval)
+    assert b"\xFF\xDD" in payload  # DRI present
+    back = decode_lossless_jpeg(payload, 16, 40)
+    np.testing.assert_array_equal(back, mosaic)
+
+
+def test_roundtrip_restart_two_components():
+    rng = np.random.default_rng(9)
+    mosaic = rng.integers(0, 16384, (12, 48)).astype(np.uint16)
+    payload = encode_lossless_jpeg(mosaic, precision=14, ncomp=2,
+                                   predictor=6, restart_interval=24)
+    back = decode_lossless_jpeg(payload, 12, 48)
+    np.testing.assert_array_equal(back, mosaic)
