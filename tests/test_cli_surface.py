@@ -54,3 +54,21 @@ def test_dksraw_subcommand_help():
 def test_dksraw_missing_file_is_error(tmp_path):
     from astrophotography_tpu.cli.dksraw import main
     assert main(["grey", str(tmp_path / "no.dng"), "-l", "CRITICAL"]) == 1
+
+
+def test_all_cli_tools_have_entry_points():
+    """Every ap_*/dksraw CLI module is installed as a console script
+    (reference setup.py:33-36 installs everything it ships)."""
+    import os
+    import re
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    text = open(os.path.join(repo, "pyproject.toml")).read()
+    scripts = dict(re.findall(
+        r'^(\w+) = "astrophotography_tpu\.cli\.(\w+):main"$', text, re.M))
+    cli_dir = os.path.join(repo, "astrophotography_tpu", "cli")
+    tools = {f[:-3] for f in os.listdir(cli_dir)
+             if f.endswith(".py") and not f.startswith("_")
+             and f != "common.py"}
+    missing = tools - set(scripts.values())
+    assert not missing, f"CLI tools without console entry points: {missing}"
