@@ -16,13 +16,15 @@ logger = get_logger("api")
 
 def grey(rawfile: str, output: str, luminance_method: str = "linear",
          subtract_black: bool = True, wb_method: str = "daylight",
-         print_stats: bool = False, renormalize: bool = False) -> None:
+         print_stats: bool = False, renormalize: bool = False,
+         demosaic: str = "mhc") -> None:
     """RAW -> 16-bit greyscale (reference api/grey.py:9-46)."""
     t0 = time.perf_counter()
     raw = RawConv(rawfile)
     img, exif = raw.grey(luminance_method=luminance_method,
                          subtract_black=subtract_black, wb_method=wb_method,
-                         print_stats=print_stats, renorm=renormalize)
+                         print_stats=print_stats, renorm=renormalize,
+                         demosaic=demosaic)
     file_writer(output, img, exif)
     logger.info(f"dksraw grey: {rawfile} -> {output} "
                 f"in {time.perf_counter() - t0:.3f} s")
@@ -30,13 +32,15 @@ def grey(rawfile: str, output: str, luminance_method: str = "linear",
 
 def rgb(rawfile: str, output: str, luminance_method: str = "linear",
         subtract_black: bool = True, wb_method: str = "daylight",
-        print_stats: bool = False, renormalize: bool = False) -> None:
+        print_stats: bool = False, renormalize: bool = False,
+        demosaic: str = "mhc") -> None:
     """RAW -> 16-bit RGB (reference api/rgb.py:9-46)."""
     t0 = time.perf_counter()
     raw = RawConv(rawfile)
     img, exif = raw.rgb(luminance_method=luminance_method,
                         subtract_black=subtract_black, wb_method=wb_method,
-                        print_stats=print_stats, renorm=renormalize)
+                        print_stats=print_stats, renorm=renormalize,
+                        demosaic=demosaic)
     file_writer(output, img, exif)
     logger.info(f"dksraw rgb: {rawfile} -> {output} "
                 f"in {time.perf_counter() - t0:.3f} s")

@@ -44,6 +44,10 @@ def _add_wb(p: argparse.ArgumentParser) -> None:
                    help="linearly stretch 0.01-99.99 percentiles to 16-bit range")
     p.add_argument("-s", "--printstats", action="store_true",
                    help="log image statistics")
+    p.add_argument("-d", "--demosaic", default="mhc",
+                   choices=["mhc", "bilinear"],
+                   help="demosaic algorithm (mhc = gradient-corrected "
+                        "Malvar-He-Cutler, default)")
 
 
 def _args(argv: Optional[List[str]]) -> argparse.Namespace:
@@ -93,12 +97,14 @@ def main(argv: Optional[List[str]] = None) -> int:
             output = ns.output or _default_output(ns.rawfile, "png")
             api.grey(ns.rawfile, output, luminance_method=ns.method,
                      subtract_black=not ns.keepblack, wb_method=ns.whitebalance,
-                     print_stats=ns.printstats, renormalize=ns.renormalize)
+                     print_stats=ns.printstats, renormalize=ns.renormalize,
+                     demosaic=ns.demosaic)
         elif ns.command == "rgb":
             output = ns.output or _default_output(ns.rawfile, "png")
             api.rgb(ns.rawfile, output, luminance_method=ns.method,
                     subtract_black=not ns.keepblack, wb_method=ns.whitebalance,
-                    print_stats=ns.printstats, renormalize=ns.renormalize)
+                    print_stats=ns.printstats, renormalize=ns.renormalize,
+                    demosaic=ns.demosaic)
         elif ns.command == "split":
             output = ns.output or _default_output(ns.rawfile, ns.extension)
             api.split(ns.rawfile, output, subtract_black=not ns.keepblack,

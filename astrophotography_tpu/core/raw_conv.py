@@ -115,20 +115,25 @@ class RawConv:
     # -- conversions ------------------------------------------------------
     def rgb(self, luminance_method: str = "linear", subtract_black: bool = True,
             wb_method: str = "auto", print_stats: bool = False,
-            renorm: bool = False) -> Tuple[np.ndarray, Dict]:
-        """(H, W, 3) uint16 linear RGB (reference core/RawConv.py:401-486)."""
+            renorm: bool = False, demosaic: str = "mhc") -> Tuple[np.ndarray, Dict]:
+        """(H, W, 3) uint16 linear RGB (reference core/RawConv.py:401-486).
+
+        ``demosaic``: 'mhc' (gradient-corrected, AHD-class — matches the
+        reference's LibRaw postprocess quality) or 'bilinear'.
+        """
         if luminance_method not in ("linear",):
             logger.error(f"Unexpected luminance method {luminance_method!r} "
                          "for rgb; allowed: ['linear']")
         wb = self._wb_array(wb_method)
         img = dk.raw_to_rgb(self._mosaic, self._color_map, self._black_levels,
                             wb, self._raw.white_level,
-                            subtract_black=subtract_black)
+                            subtract_black=subtract_black,
+                            algorithm=demosaic)
         return self._finalize(img, renorm, print_stats), self._raw.exif
 
     def grey(self, luminance_method: str = "linear", subtract_black: bool = True,
              wb_method: str = "auto", print_stats: bool = False,
-             renorm: bool = False) -> Tuple[np.ndarray, Dict]:
+             renorm: bool = False, demosaic: str = "mhc") -> Tuple[np.ndarray, Dict]:
         """(H, W) uint16 luminance (reference core/RawConv.py:488-587)."""
         wb = self._wb_array(wb_method)
         if luminance_method == "direct":
@@ -139,7 +144,8 @@ class RawConv:
             img = dk.raw_to_grey_linear(self._mosaic, self._color_map,
                                         self._black_levels, wb,
                                         self._raw.white_level,
-                                        subtract_black=subtract_black)
+                                        subtract_black=subtract_black,
+                                        algorithm=demosaic)
         else:
             msg = (f"Unexpected luminance method {luminance_method!r}; "
                    "allowed: ['linear', 'direct']")

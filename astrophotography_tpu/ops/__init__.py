@@ -31,6 +31,7 @@ from .psf import (
 )
 from .demosaic import (
     demosaic_bilinear,
+    demosaic_mhc,
     raw_to_rgb,
     raw_to_grey_linear,
     raw_to_grey_direct,
@@ -54,6 +55,7 @@ __all__ = [
     "sigma_clip_combine",
     "imarith",
     "demosaic_bilinear",
+    "demosaic_mhc",
     "raw_to_rgb",
     "raw_to_grey_linear",
     "raw_to_grey_direct",

@@ -10,11 +10,22 @@ CCIR-601 luma, and percentile renormalization (core/RawConv.py:462-471)
 — is a single jitted computation that XLA fuses into one pass over the
 mosaic.
 
-Demosaic algorithm: mask-normalized bilinear interpolation (the
-reference inherits LibRaw's AHD; bilinear is the documented divergence,
-SURVEY.md §7 "demosaic parity" — outputs validated statistically).
-The formulation is pattern-agnostic: it only needs the per-pixel color
-map (the analogue of rawpy's ``raw_colors_visible``).
+Demosaic algorithms:
+
+* ``mhc`` (default) — Malvar-He-Cutler gradient-corrected linear
+  interpolation (Malvar, He & Cutler, ICASSP 2004): five fixed 5x5
+  filters over the CFA signal, selected per site class.  Quality is
+  AHD-class on edges (the reference inherits LibRaw's AHD via
+  postprocess, core/RawConv.py:453-455) while staying a pure
+  fixed-stencil convolution — ideal for the TPU VPU, no data-dependent
+  control flow.
+* ``bilinear`` — mask-normalized bilinear interpolation, pattern
+  agnostic; kept as the fallback for exotic CFA layouts.
+
+Both formulations only need the per-pixel color map (the analogue of
+rawpy's ``raw_colors_visible``); MHC additionally derives the site
+classes (green-in-red-row vs green-in-blue-row) from the map itself,
+so every Bayer phase (RGGB/BGGR/GRBG/GBRG) works unchanged.
 """
 
 from __future__ import annotations
@@ -81,6 +92,97 @@ def demosaic_bilinear(values: jnp.ndarray, color_map: jnp.ndarray) -> jnp.ndarra
     return jnp.stack(planes, axis=-1)
 
 
+def _conv5x5_sum(x: jnp.ndarray, kernel) -> jnp.ndarray:
+    """5x5 weighted sum via shifted adds over a reflect-padded image.
+
+    ``kernel`` is a static 5x5 nested sequence; zero taps are elided at
+    trace time (the MHC filters have 9-13 non-zero taps each).
+    """
+    h, w = x.shape
+    padded = jnp.pad(x, 2, mode="reflect")
+    out = jnp.zeros_like(x)
+    for dy in range(5):
+        for dx in range(5):
+            k = float(kernel[dy][dx])
+            if k != 0.0:
+                out = out + k * padded[dy:dy + h, dx:dx + w]
+    return out
+
+
+# Malvar-He-Cutler 2004 filters, in eighths.  Names by target:
+# G at an R/B site; R/B at a green site whose same-color neighbors are
+# horizontal (row) or vertical (col); R at a B site / B at an R site
+# (diag).
+_E = 1.0 / 8.0
+_MHC_G_AT_RB = (
+    (0, 0, -1 * _E, 0, 0),
+    (0, 0, 2 * _E, 0, 0),
+    (-1 * _E, 2 * _E, 4 * _E, 2 * _E, -1 * _E),
+    (0, 0, 2 * _E, 0, 0),
+    (0, 0, -1 * _E, 0, 0),
+)
+_MHC_RB_ROW = (
+    (0, 0, 0.5 * _E, 0, 0),
+    (0, -1 * _E, 0, -1 * _E, 0),
+    (-1 * _E, 4 * _E, 5 * _E, 4 * _E, -1 * _E),
+    (0, -1 * _E, 0, -1 * _E, 0),
+    (0, 0, 0.5 * _E, 0, 0),
+)
+_MHC_RB_COL = tuple(zip(*_MHC_RB_ROW))  # transpose
+_MHC_RB_DIAG = (
+    (0, 0, -1.5 * _E, 0, 0),
+    (0, 2 * _E, 0, 2 * _E, 0),
+    (-1.5 * _E, 0, 6 * _E, 0, -1.5 * _E),
+    (0, 2 * _E, 0, 2 * _E, 0),
+    (0, 0, -1.5 * _E, 0, 0),
+)
+
+
+def _horizontal_neighbor_mask(site: jnp.ndarray) -> jnp.ndarray:
+    """True where a horizontal (left or right) neighbor is in ``site``.
+
+    Wrap padding preserves Bayer phase (H, W are even for every CFA),
+    so edge columns classify correctly.
+    """
+    padded = jnp.pad(site, ((0, 0), (1, 1)), mode="wrap")
+    return padded[:, :-2] | padded[:, 2:]
+
+
+@jax.jit
+def demosaic_mhc(values: jnp.ndarray, color_map: jnp.ndarray) -> jnp.ndarray:
+    """Malvar-He-Cutler demosaic: (H, W) CFA sites -> (H, W, 3) RGB.
+
+    Gradient-corrected bilinear interpolation: each missing color is a
+    fixed 5x5 linear filter of the raw CFA signal (the filters embed
+    the luminance-gradient correction), selected by the site's class.
+    Measured sites keep their own sample exactly.
+    """
+    v = values.astype(jnp.float32)
+    site_r = color_map == R
+    site_b = color_map == B
+    site_g = (color_map == G1) | (color_map == G2)
+    # green sites split by the orientation of their red neighbors
+    g_red_row = site_g & _horizontal_neighbor_mask(site_r)
+    g_blue_row = site_g & _horizontal_neighbor_mask(site_b)
+
+    conv_g = _conv5x5_sum(v, _MHC_G_AT_RB)
+    conv_row = _conv5x5_sum(v, _MHC_RB_ROW)
+    conv_col = _conv5x5_sum(v, _MHC_RB_COL)
+    conv_diag = _conv5x5_sum(v, _MHC_RB_DIAG)
+
+    red = jnp.where(site_r, v,
+                    jnp.where(g_red_row, conv_row,
+                              jnp.where(g_blue_row, conv_col, conv_diag)))
+    green = jnp.where(site_g, v, conv_g)
+    blue = jnp.where(site_b, v,
+                     jnp.where(g_blue_row, conv_row,
+                               jnp.where(g_red_row, conv_col, conv_diag)))
+    return jnp.stack([red, green, blue], axis=-1)
+
+
+_DEMOSAIC_FUNCS = {"mhc": demosaic_mhc, "bilinear": demosaic_bilinear}
+
+
 def safe_subtract_black(
     mosaic: jnp.ndarray,
     color_map: jnp.ndarray,
@@ -97,7 +199,7 @@ def safe_subtract_black(
     return jnp.maximum(mosaic.astype(jnp.float32) - bl, 0.0)
 
 
-@functools.partial(jax.jit, static_argnames=("subtract_black",))
+@functools.partial(jax.jit, static_argnames=("subtract_black", "algorithm"))
 def raw_to_rgb(
     mosaic: jnp.ndarray,
     color_map: jnp.ndarray,
@@ -105,16 +207,21 @@ def raw_to_rgb(
     wb: jnp.ndarray,
     white_level: float = 65535.0,
     subtract_black: bool = True,
+    algorithm: str = "mhc",
 ) -> jnp.ndarray:
     """Linear 16-bit-range RGB from a uint16 Bayer mosaic.
 
     Equivalent of LibRaw postprocess(gamma=(1,1), no_auto_bright,
     output_bps=16, user_wb): black subtraction, white-balance
     multipliers applied at the CFA sites, scaling so the sensor range
-    [black, white_level] maps to [0, 65535], then bilinear demosaic.
+    [black, white_level] maps to [0, 65535], then demosaic
+    (``algorithm``: 'mhc' gradient-corrected default, or 'bilinear').
     Output float32 (caller clips/casts; reference clips at
     core/RawConv.py:484-486).
     """
+    if algorithm not in _DEMOSAIC_FUNCS:
+        raise ValueError(f"unknown demosaic algorithm {algorithm!r}; "
+                         f"choose from {sorted(_DEMOSAIC_FUNCS)}")
     f = mosaic.astype(jnp.float32)
     if subtract_black:
         f = safe_subtract_black(f, color_map, black_levels)
@@ -124,10 +231,10 @@ def raw_to_rgb(
     f = f * wb.astype(jnp.float32)[color_map]
     scale = MAX_ADU / jnp.maximum(jnp.float32(white_level) - ref_black, 1.0)
     f = f * scale
-    return demosaic_bilinear(f, color_map)
+    return _DEMOSAIC_FUNCS[algorithm](f, color_map)
 
 
-@functools.partial(jax.jit, static_argnames=("subtract_black",))
+@functools.partial(jax.jit, static_argnames=("subtract_black", "algorithm"))
 def raw_to_grey_linear(
     mosaic: jnp.ndarray,
     color_map: jnp.ndarray,
@@ -135,6 +242,7 @@ def raw_to_grey_linear(
     wb: jnp.ndarray,
     white_level: float = 65535.0,
     subtract_black: bool = True,
+    algorithm: str = "mhc",
 ) -> jnp.ndarray:
     """CCIR-601 luma of the linear RGB (reference core/RawConv.py:549-556).
 
@@ -142,7 +250,7 @@ def raw_to_grey_linear(
     float32 throughout (sub-ADU difference, within test tolerance).
     """
     rgb = raw_to_rgb(mosaic, color_map, black_levels, wb, white_level,
-                     subtract_black)
+                     subtract_black, algorithm=algorithm)
     coeff = jnp.array(CCIR601, dtype=jnp.float32)
     return jnp.clip(rgb, 0.0, MAX_ADU) @ coeff
 

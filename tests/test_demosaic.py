@@ -66,8 +66,14 @@ def test_safe_subtract_black_clamps():
     np.testing.assert_allclose(out, [[0, 88], [188, 0]])
 
 
-def test_raw_to_rgb_recovers_scene():
-    """Full kernel recovers a synthetic scene through the sensor model."""
+@pytest.mark.parametrize("algorithm,rtol", [("bilinear", 0.15), ("mhc", 0.25)])
+def test_raw_to_rgb_recovers_scene(algorithm, rtol):
+    """Full kernel recovers a synthetic scene through the sensor model.
+
+    MHC gets a looser per-pixel bound: the gradient correction can
+    overshoot where the scene curves (the price of edge sharpness);
+    the statistical bias/σ bounds stay identical.
+    """
     scene = synth.make_rgb_scene((32, 32), seed=5, peak=30000)
     blacks = (512, 500, 520, 508)
     wb = (2.0, 1.0, 1.5, 1.0)
@@ -75,19 +81,19 @@ def test_raw_to_rgb_recovers_scene():
     cmap = synth.bayer_color_map((32, 32))
     out = np.asarray(raw_to_rgb(
         mosaic, cmap, np.array(blacks, np.float32), np.array(wb, np.float32),
-        white_level=65535.0))
+        white_level=65535.0, algorithm=algorithm))
     # kernel scales by 65535/(white - max(black)) = 65535/65015
     scale = 65535.0 / (65535.0 - max(blacks))
     interior = (slice(2, -2), slice(2, -2))
     for c in range(3):
         ratio = out[interior + (c,)] / (scene[interior + (c,)] * scale)
-        # statistical parity: bilinear smoothing leaves a small per-pixel
-        # error where the scene curves, but no bias
+        # statistical parity: interpolation leaves small per-pixel error
+        # where the scene curves, but no bias
         assert abs(ratio.mean() - 1.0) < 0.01
         assert ratio.std() < 0.03
         np.testing.assert_allclose(out[interior + (c,)],
                                    scene[interior + (c,)] * scale,
-                                   rtol=0.15, atol=100)
+                                   rtol=rtol, atol=100)
 
 
 def test_raw_to_grey_linear_is_ccir601():
@@ -139,3 +145,128 @@ def test_percentile_renorm_stretches():
     out = np.asarray(percentile_renorm(img))
     assert out.min() < 100  # 0.01 pctl mapped near 0
     assert out.max() > 65000
+
+
+# ---------------------------------------------------------------------------
+# Malvar-He-Cutler demosaic
+# ---------------------------------------------------------------------------
+
+def _mhc_golden(mosaic, cmap):
+    """Independent numpy MHC implementation (Malvar, He & Cutler 2004,
+    eq. filters), reflect padding, for parity testing."""
+    v = mosaic.astype(np.float64)
+    h, w = v.shape
+    k_g = np.array([[0, 0, -1, 0, 0],
+                    [0, 0, 2, 0, 0],
+                    [-1, 2, 4, 2, -1],
+                    [0, 0, 2, 0, 0],
+                    [0, 0, -1, 0, 0]]) / 8.0
+    k_row = np.array([[0, 0, 0.5, 0, 0],
+                      [0, -1, 0, -1, 0],
+                      [-1, 4, 5, 4, -1],
+                      [0, -1, 0, -1, 0],
+                      [0, 0, 0.5, 0, 0]]) / 8.0
+    k_col = k_row.T
+    k_diag = np.array([[0, 0, -1.5, 0, 0],
+                       [0, 2, 0, 2, 0],
+                       [-1.5, 0, 6, 0, -1.5],
+                       [0, 2, 0, 2, 0],
+                       [0, 0, -1.5, 0, 0]]) / 8.0
+
+    def conv(img, k):
+        p = np.pad(img, 2, mode="reflect")
+        out = np.zeros_like(img)
+        for dy in range(5):
+            for dx in range(5):
+                if k[dy, dx]:
+                    out += k[dy, dx] * p[dy:dy + h, dx:dx + w]
+        return out
+
+    site_r = cmap == 0
+    site_b = cmap == 2
+    site_g = (cmap == 1) | (cmap == 3)
+    pr = np.pad(site_r, ((0, 0), (1, 1)), mode="wrap")
+    pb = np.pad(site_b, ((0, 0), (1, 1)), mode="wrap")
+    g_rrow = site_g & (pr[:, :-2] | pr[:, 2:])
+    g_brow = site_g & (pb[:, :-2] | pb[:, 2:])
+
+    cg, crow, ccol, cdiag = (conv(v, k) for k in (k_g, k_row, k_col, k_diag))
+    red = np.where(site_r, v,
+                   np.where(g_rrow, crow, np.where(g_brow, ccol, cdiag)))
+    green = np.where(site_g, v, cg)
+    blue = np.where(site_b, v,
+                    np.where(g_brow, crow, np.where(g_rrow, ccol, cdiag)))
+    return np.stack([red, green, blue], axis=-1)
+
+
+@pytest.mark.parametrize("pattern", [
+    np.array([[0, 1], [3, 2]], np.uint8),   # RGGB
+    np.array([[2, 1], [3, 0]], np.uint8),   # BGGR
+    np.array([[1, 0], [2, 3]], np.uint8),   # GRBG
+    np.array([[1, 2], [0, 3]], np.uint8),   # GBRG
+])
+def test_demosaic_mhc_matches_golden(pattern):
+    from astrophotography_tpu.ops import demosaic_mhc
+
+    rng = np.random.default_rng(7)
+    h, w = 20, 24
+    mosaic = rng.integers(100, 60000, (h, w)).astype(np.float32)
+    cmap = synth.bayer_color_map((h, w), pattern)
+    out = np.asarray(demosaic_mhc(mosaic, cmap))
+    golden = _mhc_golden(mosaic, cmap)
+    np.testing.assert_allclose(out, golden, rtol=1e-5, atol=0.05)
+
+
+def test_demosaic_mhc_preserves_sites():
+    from astrophotography_tpu.ops import demosaic_mhc
+
+    rng = np.random.default_rng(8)
+    cmap = synth.bayer_color_map((12, 12))
+    mosaic = rng.integers(100, 50000, (12, 12)).astype(np.float32)
+    rgb = np.asarray(demosaic_mhc(mosaic, cmap))
+    for color, chan in ((0, 0), (1, 1), (3, 1), (2, 2)):
+        sites = cmap == color
+        np.testing.assert_allclose(rgb[..., chan][sites], mosaic[sites],
+                                   rtol=1e-5)
+
+
+def test_demosaic_mhc_flat_field_is_exact():
+    from astrophotography_tpu.ops import demosaic_mhc
+
+    mosaic, cmap = _flat_mosaic(r=2000, g=2000, b=2000)
+    rgb = np.asarray(demosaic_mhc(mosaic.astype(np.float32), cmap))
+    np.testing.assert_allclose(rgb, 2000.0, rtol=1e-5)
+
+
+def test_demosaic_mhc_sharper_than_bilinear_on_detail():
+    """The gradient correction must cut error on high-frequency
+    luminance detail (the reason the reference uses AHD over bilinear).
+    A radial zone plate exercises every edge orientation and frequency;
+    MHC halves the bilinear error there."""
+    from astrophotography_tpu.ops import demosaic_mhc
+
+    h, w = 64, 64
+    yy, xx = np.mgrid[0:h, 0:w]
+    r2 = (yy - h / 2) ** 2 + (xx - w / 2) ** 2
+    zp = 20000 + 15000 * np.cos(r2 * 0.05)
+    scene = np.stack([zp] * 3, axis=-1)
+    cmap = synth.bayer_color_map((h, w))
+    mosaic = synth.mosaic_from_rgb(scene, black_levels=(0, 0, 0, 0))
+    f = mosaic.astype(np.float32)
+    err_mhc = np.abs(np.asarray(demosaic_mhc(f, cmap))[4:-4, 4:-4]
+                     - scene[4:-4, 4:-4])
+    err_bil = np.abs(np.asarray(demosaic_bilinear(f, cmap))[4:-4, 4:-4]
+                     - scene[4:-4, 4:-4])
+    assert err_mhc.mean() < 0.6 * err_bil.mean()
+
+
+def test_raw_to_rgb_algorithm_selectable():
+    mosaic, cmap = _flat_mosaic()
+    blacks = np.zeros(4, np.float32)
+    wb = np.ones(4, np.float32)
+    a = np.asarray(raw_to_rgb(mosaic, cmap, blacks, wb, algorithm="mhc"))
+    b = np.asarray(raw_to_rgb(mosaic, cmap, blacks, wb, algorithm="bilinear"))
+    # flat field: both exact, selectable without error
+    np.testing.assert_allclose(a, b, rtol=1e-5)
+    with pytest.raises(ValueError):
+        raw_to_rgb(mosaic, cmap, blacks, wb, algorithm="ahd_nope")
