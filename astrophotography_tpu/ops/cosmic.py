@@ -2,34 +2,38 @@
 
 TPU-native replacement for astroscrappy (Cython) as invoked through
 ccdproc by the reference (core/ApFixCosmicRays.py:265-295: gain-applied
-electrons, sigclip=4.5, readnoise=12 e-, psf fwhm=3.5, satlevel =
-gain*65535, niter=6).  Implements van Dokkum (2001):
+electrons, sigclip=4.5, readnoise=12 e-, fsmode='convolve' with a
+Gaussian PSF of fwhm=3.5 / size=7, satlevel = gain*65535, niter=6).
+Implements van Dokkum (2001) with astroscrappy's structure:
 
 per iteration —
 1. 2x block-replicated subsampling, 3x3 Laplacian, negative clip,
-   2x2 block average back (L+);
-2. noise model sqrt(median5(img) + rn^2), S = L+/(2 noise),
-   S' = S - median5(S);
-3. fine-structure F = median3(img) - median7(median3(img)) rejecting
-   genuine point sources via L+/F < objlim (the 'median' fsmode of the
-   paper; the reference uses astroscrappy's 'convolve' variant — a PSF
-   template comparison — which differs in borderline star/CR cases but
-   targets the same discrimination);
-4. neighbor growth at a reduced threshold (sigfrac);
-5. saturated stars excluded; masked pixels replaced by the 5x5 median
+   2x2 block average back (L+); S = L+/(2 noise) with noise =
+   sqrt(median5(img) + rn^2); S' = S - median5(S);
+2. fine-structure image: base = convolve(img, psf) (fsmode='convolve',
+   the reference's invocation) or median3(img) (fsmode='median', the
+   paper's original); F = (base - median7(base)) / noise, floored at
+   0.01; candidates need S' > sigclip AND S'/F > objlim — the F test
+   rejects genuine point sources whose fine structure is PSF-like;
+3. two-stage neighbor growth (astroscrappy): dilate once gated at the
+   full sigclip, then dilate gated at sigclip*sigfrac;
+4. saturated stars excluded; masked pixels replaced by the 5x5 median
    of unmasked neighbors.
 
 The iteration count is static (jit-friendly); the cumulative CR mask
 and the cleaned image are returned.
 
-All median filters are separable shift-stack sorts on the VPU; there is
-no data-dependent control flow anywhere.
+All median filters are shift-stack sorts on the VPU and the PSF
+convolution is a static shifted-add stencil; there is no gather and no
+data-dependent control flow anywhere.
 """
 
 from __future__ import annotations
 
 import functools
 from typing import Tuple
+
+import numpy as np
 
 import jax
 import jax.numpy as jnp
@@ -73,8 +77,42 @@ def _laplacian_subsampled(img: jnp.ndarray) -> jnp.ndarray:
     return lap.reshape(h, 2, w, 2).mean(axis=(1, 3)) * 2.0
 
 
+def _gaussian_psf_kernel(fwhm: float, size: int) -> np.ndarray:
+    """Normalized 2-D Gaussian PSF template (astroscrappy gausskernel)."""
+    sigma = fwhm / 2.35482
+    half = size // 2
+    yy, xx = np.mgrid[-half:half + 1, -half:half + 1]
+    k = np.exp(-(xx ** 2 + yy ** 2) / (2.0 * sigma ** 2))
+    return (k / k.sum()).astype(np.float32)
+
+
+def _conv_static(img: jnp.ndarray, kernel: np.ndarray) -> jnp.ndarray:
+    """Static-stencil convolution via shifted adds (no gathers)."""
+    h, w = img.shape
+    size = kernel.shape[0]
+    half = size // 2
+    padded = jnp.pad(img, half, mode="edge")
+    out = jnp.zeros_like(img)
+    for dy in range(size):
+        for dx in range(size):
+            k = float(kernel[dy, dx])
+            if k != 0.0:
+                out = out + k * padded[dy:dy + h, dx:dx + w]
+    return out
+
+
+def _dilate3(mask: jnp.ndarray) -> jnp.ndarray:
+    h, w = mask.shape
+    p = jnp.pad(mask, 1)
+    out = jnp.zeros_like(mask)
+    for dy in range(3):
+        for dx in range(3):
+            out = out | p[dy:dy + h, dx:dx + w]
+    return out
+
+
 @functools.partial(jax.jit,
-                   static_argnames=("niter", "grow_iters"))
+                   static_argnames=("niter", "fsmode", "psffwhm", "psfsize"))
 def lacosmic(
     img_adu: jnp.ndarray,
     gain: float = 1.0,
@@ -84,28 +122,36 @@ def lacosmic(
     objlim: float = 5.0,
     satlevel_e: float = 65535.0,
     niter: int = 6,
-    grow_iters: int = 1,
+    fsmode: str = "convolve",
+    psffwhm: float = 3.5,
+    psfsize: int = 7,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Clean cosmic rays; returns (cleaned ADU image, CR mask bool).
 
     Parameter defaults follow the reference's hardwired astroscrappy
-    call (core/ApFixCosmicRays.py:265-284).  ``satlevel_e`` is in
-    electrons (pass gain*65535 to match the reference).
+    call (core/ApFixCosmicRays.py:265-284), including
+    ``fsmode='convolve'`` with a Gaussian PSF template (fwhm 3.5,
+    size 7).  ``satlevel_e`` is in electrons (pass gain*65535 to match
+    the reference).  ``fsmode='median'`` selects the paper's original
+    median fine-structure image.
     """
+    if fsmode not in ("convolve", "median"):
+        raise ValueError(f"fsmode must be 'convolve' or 'median', "
+                         f"got {fsmode!r}")
     img_e = img_adu.astype(jnp.float32) * jnp.float32(gain)
     rn2 = jnp.float32(readnoise) ** 2
+    psfk = _gaussian_psf_kernel(psffwhm, psfsize) \
+        if fsmode == "convolve" else None
 
-    # saturated stars (and their halos) are never cosmic rays
-    sat = img_e > jnp.float32(satlevel_e)
-    h, w = img_e.shape
+    # saturated stars (and their halos) are never cosmic rays — but only
+    # EXTENDED saturated structure qualifies (astroscrappy: the 5x5
+    # median must also be high), else a very bright single-pixel CR
+    # above satlevel would protect itself
+    sat = ((img_e > jnp.float32(satlevel_e))
+           & (_median_filter(img_e, 5) > jnp.float32(satlevel_e) / 10.0))
     satgrow = sat
     for _ in range(2):
-        p = jnp.pad(satgrow, 1)
-        g = jnp.zeros_like(satgrow)
-        for dy in range(3):
-            for dx in range(3):
-                g = g | p[dy:dy + h, dx:dx + w]
-        satgrow = g
+        satgrow = _dilate3(satgrow)
 
     def body(state, _):
         clean, crmask = state
@@ -114,19 +160,22 @@ def lacosmic(
         noise = jnp.sqrt(med5 + rn2)
         s = lplus / (2.0 * noise)
         sprime = s - _median_filter(s, 5)
-        med3 = _median_filter(clean, 3)
-        fine = med3 - _median_filter(med3, 7)
+        # fine-structure image (astroscrappy: base - median7(base),
+        # noise-normalized, floored)
+        if fsmode == "convolve":
+            base = _conv_static(clean, psfk)
+        else:
+            base = _median_filter(clean, 3)
+        fine = (base - _median_filter(base, 7)) / noise
         fine = jnp.maximum(fine, 0.01)
-        candidate = (sprime > sigclip) & (lplus / fine > objlim) & ~satgrow
-        # neighbor growth at reduced significance
-        grown = candidate
-        for _i in range(grow_iters):
-            p = jnp.pad(grown, 1)
-            nb = jnp.zeros_like(grown)
-            for dy in range(3):
-                for dx in range(3):
-                    nb = nb | p[dy:dy + h, dx:dx + w]
-            grown = grown | (nb & (sprime > sigclip * sigfrac) & ~satgrow)
+        candidate = ((sprime > sigclip) & (sprime / fine > objlim)
+                     & ~satgrow)
+        # two-stage neighbor growth (astroscrappy detect_cosmics):
+        # dilation gated at full sigclip, then at sigclip*sigfrac
+        grown = candidate | (_dilate3(candidate)
+                             & (sprime > sigclip) & ~satgrow)
+        grown = grown | (_dilate3(grown)
+                         & (sprime > sigclip * sigfrac) & ~satgrow)
         new_mask = crmask | grown
         repl = _masked_median_filter(clean, ~new_mask, 5)
         repl = jnp.where(jnp.isnan(repl), clean, repl)
