@@ -25,13 +25,20 @@ def parse(argv: Optional[List[str]]) -> argparse.Namespace:
                    help="override the target name parsed from the filename")
     p.add_argument("--yamlfile", default=None,
                    help="YAML of key: value pairs (yamlkeyval mode)")
+    p.add_argument("--simbad", action="store_true",
+                   help="resolve targets missing from the built-in catalog "
+                        "via the SIMBAD TAP service (network)")
     add_loglevel(p)
     return p.parse_args(argv)
 
 
 def run(ns: argparse.Namespace) -> None:
+    resolver = None
+    if ns.simbad:
+        from ..core.metadata import simbad_resolver
+        resolver = simbad_resolver()
     add_metadata(ns.fitsfile, mode=ns.mode, target=ns.target,
-                 yamlfile=ns.yamlfile)
+                 yamlfile=ns.yamlfile, resolver=resolver)
 
 
 main = cli_main(run, parse)

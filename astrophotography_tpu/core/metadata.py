@@ -120,7 +120,7 @@ def resolve_target(
     """(ra_deg, dec_deg) for a target name.
 
     Tries the built-in catalog (case/spacing-insensitive), then the
-    optional ``resolver`` callable (e.g. a Simbad client).
+    optional ``resolver`` callable (e.g. ``simbad_resolver()``).
     """
     key = " ".join(name.upper().split())
     compact = key.replace(" ", "")
@@ -133,7 +133,54 @@ def resolve_target(
             return coords
     raise RuntimeError(
         f"cannot resolve target {name!r}: not in the built-in catalog and "
-        "no resolver provided (network Simbad lookup requires --resolver)")
+        "no resolver provided (pass simbad_resolver() / --simbad for a "
+        "network SIMBAD lookup)")
+
+
+#: SIMBAD TAP sync endpoint (CDS Strasbourg)
+SIMBAD_TAP_URL = "https://simbad.cds.unistra.fr/simbad/sim-tap/sync"
+
+
+def simbad_resolver(transport: Optional[callable] = None) -> callable:
+    """Name -> (ra_deg, dec_deg) resolver backed by the SIMBAD TAP
+    service — the same resolution the reference performs via astroplan's
+    ``FixedTarget.from_name`` (core/ApAddMetadata.py:466,483).
+
+    ``transport`` is an injectable ``callable(url: str) -> bytes`` so
+    tests and offline batch runs never touch the network (same pattern
+    as wcs/astrometry.py's solve transport); the default transport uses
+    urllib, imported lazily.
+    """
+
+    def resolve(name: str) -> Optional[Tuple[float, float]]:
+        import json
+        import urllib.parse
+
+        adql = ("SELECT basic.ra, basic.dec FROM basic "
+                "JOIN ident ON ident.oidref = basic.oid "
+                "WHERE ident.id = '%s'" % name.replace("'", "''"))
+        url = SIMBAD_TAP_URL + "?" + urllib.parse.urlencode({
+            "REQUEST": "doQuery", "LANG": "ADQL",
+            "FORMAT": "json", "QUERY": adql})
+        try:
+            if transport is not None:
+                raw = transport(url)
+            else:
+                import urllib.request
+                with urllib.request.urlopen(url, timeout=30) as resp:
+                    raw = resp.read()
+            doc = json.loads(raw)
+        except Exception as exc:
+            logger.warning(f"SIMBAD lookup for {name!r} failed: "
+                           f"{type(exc).__name__}: {exc}")
+            return None
+        rows = doc.get("data") or []
+        if not rows or rows[0][0] is None:
+            logger.warning(f"SIMBAD returned no position for {name!r}")
+            return None
+        return float(rows[0][0]), float(rows[0][1])
+
+    return resolve
 
 
 # -- time / airmass --------------------------------------------------------

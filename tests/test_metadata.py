@@ -112,3 +112,53 @@ def test_ap_add_metadata_yamlkeyval_mode(tmp_path):
     assert out["FILTER"] == "Ha"
     assert out["EXPTIME"] == 180.0
     assert out["SET-TEMP"] == -15.0
+
+
+def test_simbad_resolver_parses_tap_json():
+    """simbad_resolver with an injected transport: ADQL query encodes
+    the (quote-escaped) name; TAP JSON rows parse to (ra, dec)."""
+    import json
+    import urllib.parse
+
+    from astrophotography_tpu.core.metadata import (resolve_target,
+                                                    simbad_resolver)
+
+    seen = {}
+
+    def transport(url):
+        seen["url"] = url
+        q = urllib.parse.parse_qs(urllib.parse.urlparse(url).query)
+        assert q["FORMAT"] == ["json"]
+        assert "O'Neill 1" .replace("'", "''") in q["QUERY"][0]
+        return json.dumps({"data": [[83.6331, 22.0145]]}).encode()
+
+    resolver = simbad_resolver(transport=transport)
+    ra, dec = resolve_target("O'Neill 1", resolver)
+    assert (ra, dec) == (83.6331, 22.0145)
+    assert seen["url"].startswith(
+        "https://simbad.cds.unistra.fr/simbad/sim-tap/sync?")
+
+
+def test_simbad_resolver_no_match_and_failure():
+    import json
+
+    from astrophotography_tpu.core.metadata import simbad_resolver
+
+    empty = simbad_resolver(transport=lambda url: json.dumps(
+        {"data": []}).encode())
+    assert empty("Nonexistent Object 9") is None
+
+    def broken(url):
+        raise OSError("no network")
+
+    assert simbad_resolver(transport=broken)("M31") is None
+
+
+def test_builtin_catalog_wins_over_resolver():
+    from astrophotography_tpu.core.metadata import resolve_target
+
+    def never(name):
+        raise AssertionError("resolver must not be called for catalog hits")
+
+    ra, dec = resolve_target("m 31", never)
+    assert round(ra, 3) == 10.685
