@@ -284,12 +284,17 @@ class Astrometry:
 def solve_from_reference(
     ref_wcs: TanWCS,
     sim,  # ops.register.Similarity mapping ref pixels -> target pixels
+    sip_order: int = 2,
 ) -> TanWCS:
     """Absolute WCS for a frame registered against a solved reference.
 
     Maps a grid of reference pixels through the reference WCS (sky) and
-    the similarity (target pixels), then fits a TAN solution — the
-    local, network-free plate solve used by the stacking path.
+    the similarity (target pixels), then fits a TAN(+SIP) solution —
+    the local, network-free plate solve used by the stacking path.
+    ``sip_order=2`` matches the SIP order the reference requests from
+    the network solve (core/ApAstrometry.py:382-409); it carries any
+    reference-frame distortion through to the target WCS.  Pass 0 for a
+    pure TAN.
     """
     gx, gy = np.meshgrid(np.linspace(1, 2 * ref_wcs.crpix[0], 8),
                          np.linspace(1, 2 * ref_wcs.crpix[1], 8))
@@ -300,4 +305,5 @@ def solve_from_reference(
     tx, ty = sim.apply(gx - 1.0, gy - 1.0)
     tx = np.asarray(tx) + 1.0
     ty = np.asarray(ty) + 1.0
-    return TanWCS.fit(tx, ty, ra, dec)
+    sip_order = sip_order if (ref_wcs.sip_a or ref_wcs.sip_b) else 0
+    return TanWCS.fit(tx, ty, ra, dec, sip_order=sip_order)

@@ -172,12 +172,16 @@ class TanWCS:
         return math.sqrt(abs(np.linalg.det(self.cd))) * 3600.0
 
     @classmethod
-    def fit(cls, x, y, ra, dec, crpix=None) -> "TanWCS":
-        """Least-squares linear TAN fit from matched (pixel, sky) pairs.
+    def fit(cls, x, y, ra, dec, crpix=None, sip_order: int = 0) -> "TanWCS":
+        """Least-squares TAN(+SIP) fit from matched (pixel, sky) pairs.
 
         Supports the local plate-solution path: given >= 3 matched stars
         (e.g. from registration against a solved reference frame) solve
-        CRVAL + CD so pix2world reproduces the pairs.
+        CRVAL + CD so pix2world reproduces the pairs.  ``sip_order >= 2``
+        additionally fits forward SIP distortion coefficients A_pq/B_pq
+        (terms with 2 <= p+q <= sip_order) on the linear-fit residuals —
+        the local analogue of the network solve's SIP order 2 request
+        (reference core/ApAstrometry.py:382-409, --use-sip).
         """
         x = np.asarray(x, float)
         y = np.asarray(y, float)
@@ -189,6 +193,20 @@ class TanWCS:
         # fitted offset vanishes (tangent point at CRPIX exactly)
         ra0, dec0 = float(np.mean(ra)), float(np.mean(dec))
         cd = np.eye(2)
+        u = x - crpix[0]
+        v = y - crpix[1]
+        # The SIP forward model xi = CD@[u,v] + offset + CD@[A(u,v),B(u,v)]
+        # is LINEAR in (CD, offset, CD@[A,B] polynomial coefficients):
+        # fit everything jointly, then recover A/B as CD^-1 @ E.
+        terms = [(p, q)
+                 for total in range(2, sip_order + 1)
+                 for p in range(total + 1)
+                 for q in [total - p]] if sip_order >= 2 else []
+        if terms and len(x) < len(terms) + 3:
+            terms = []  # underdetermined: fall back to pure TAN
+        cols = [u, v, np.ones_like(u)] + [u ** p * v ** q for p, q in terms]
+        A = np.stack(cols, axis=1)
+        cx = cy = None
         for _ in range(4):
             ra0r, dec0r = ra0 * _D2R, dec0 * _D2R
             rar, decr = ra * _D2R, dec * _D2R
@@ -197,10 +215,6 @@ class TanWCS:
             xi = np.cos(decr) * np.sin(rar - ra0r) / cosc / _D2R
             eta = ((np.cos(dec0r) * np.sin(decr) - np.sin(dec0r)
                     * np.cos(decr) * np.cos(rar - ra0r)) / cosc / _D2R)
-            # linear fit [xi, eta] = CD @ [u, v] + offset
-            u = x - crpix[0]
-            v = y - crpix[1]
-            A = np.stack([u, v, np.ones_like(u)], axis=1)
             cx, *_ = np.linalg.lstsq(A, xi, rcond=None)
             cy, *_ = np.linalg.lstsq(A, eta, rcond=None)
             cd = np.array([[cx[0], cx[1]], [cy[0], cy[1]]])
@@ -211,4 +225,11 @@ class TanWCS:
             w = cls((ra0, dec0), crpix, cd)
             ra_t, dec_t = w.pix2world(crpix[0] + duv[0], crpix[1] + duv[1])
             ra0, dec0 = float(np.asarray(ra_t)), float(np.asarray(dec_t))
-        return cls((ra0, dec0), crpix, cd)
+        sip_a: Dict[Tuple[int, int], float] = {}
+        sip_b: Dict[Tuple[int, int], float] = {}
+        if terms:
+            e = np.stack([cx[3:], cy[3:]])           # (2, n_terms) = CD@[A;B]
+            ab = np.linalg.solve(cd, e)               # (2, n_terms)
+            sip_a = dict(zip(terms, (float(c) for c in ab[0])))
+            sip_b = dict(zip(terms, (float(c) for c in ab[1])))
+        return cls((ra0, dec0), crpix, cd, sip_a, sip_b)

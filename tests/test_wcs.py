@@ -209,3 +209,58 @@ def test_multipart_body_format():
     assert b'name="request-json"' in body
     assert b'filename="sources.xyls"' in body
     assert b"\x00\x01FITS" in body
+
+
+def test_wcs_fit_recovers_sip_distortion():
+    """TanWCS.fit(sip_order=2) recovers a distorted solution to
+    sub-milli-pixel sky accuracy where the pure TAN fit cannot."""
+    truth = _example_wcs(with_sip=True)
+    rng = np.random.default_rng(11)
+    x = rng.uniform(1, 2048, 120)
+    y = rng.uniform(1, 1536, 120)
+    ra, dec = truth.pix2world(x, y)
+
+    tan = TanWCS.fit(x, y, ra, dec, crpix=truth.crpix, sip_order=0)
+    sip = TanWCS.fit(x, y, ra, dec, crpix=truth.crpix, sip_order=2)
+
+    gx, gy = np.meshgrid(np.linspace(10, 2040, 9), np.linspace(10, 1530, 9))
+    ra_t, dec_t = truth.pix2world(gx.ravel(), gy.ravel())
+    scale = abs(truth.cd[0, 0])  # deg/pix
+
+    def max_err(w):
+        ra_f, dec_f = w.pix2world(gx.ravel(), gy.ravel())
+        dra = (np.asarray(ra_f) - np.asarray(ra_t)) * np.cos(
+            np.radians(np.asarray(dec_t)))
+        ddec = np.asarray(dec_f) - np.asarray(dec_t)
+        return np.max(np.hypot(dra, ddec)) / scale  # in pixels
+
+    assert max_err(sip) < 0.01          # SIP fit: < 0.01 px
+    assert max_err(sip) < 0.05 * max_err(tan)  # and >> better than TAN
+    assert sip.sip_a and sip.sip_b
+
+
+def test_solve_from_reference_carries_sip():
+    """Local solves against a SIP reference keep the distortion terms
+    (the network solve requests SIP order 2; reference
+    core/ApAstrometry.py:382-409)."""
+    from astrophotography_tpu.ops.register import Similarity
+    import jax.numpy as jnp
+
+    ref = _example_wcs(with_sip=True)
+    sim = Similarity(scale=jnp.float32(1.0), theta=jnp.float32(0.004),
+                     tx=jnp.float32(20.0), ty=jnp.float32(-15.0),
+                     n_inliers=jnp.int32(30), rms=jnp.float32(0.03))
+    tgt = solve_from_reference(ref, sim)
+    assert tgt.sip_a  # distortion carried through
+    scale = abs(ref.cd[0, 0])
+    for px, py in [(200.0, 150.0), (1800.0, 1400.0), (1024.0, 768.0)]:
+        ra_r, dec_r = ref.pix2world(px, py)
+        mx, my = sim.apply(px - 1.0, py - 1.0)
+        ra_t, dec_t = tgt.pix2world(float(mx) + 1.0, float(my) + 1.0)
+        err_px = np.hypot((float(ra_t) - float(ra_r))
+                          * np.cos(np.radians(float(dec_r))),
+                          float(dec_t) - float(dec_r)) / scale
+        assert err_px < 0.05, (px, py, err_px)
+    # TAN-only reference stays TAN (no spurious SIP terms)
+    plain = solve_from_reference(_example_wcs(False), sim)
+    assert not plain.sip_a and not plain.sip_b
