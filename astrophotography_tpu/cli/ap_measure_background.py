@@ -34,6 +34,11 @@ def parse(argv: Optional[List[str]]) -> argparse.Namespace:
                    help="number of background boxes across (default 16)")
     p.add_argument("--nbg_rows", type=int, default=16,
                    help="number of background boxes down (default 16)")
+    p.add_argument("--min_bgwidth", type=int, default=48,
+                   help="minimum background box width in px (default 48); "
+                        "the grid shrinks to respect it")
+    p.add_argument("--min_bgheight", type=int, default=48,
+                   help="minimum background box height in px (default 48)")
     p.add_argument("--bg_filter_width", type=int, default=3,
                    help="median filter width over the box grid (default 3)")
     p.add_argument("--bg_badbox_pctile", type=float, default=25.0,
@@ -46,24 +51,41 @@ def parse(argv: Optional[List[str]]) -> argparse.Namespace:
     return p.parse_args(argv)
 
 
+def effective_grid(h: int, w: int, nbg_rows: int, nbg_cols: int,
+                   min_bgheight: int = 48, min_bgwidth: int = 48):
+    """Box-grid fixups (the role of the reference's _set_bgbox_size,
+    core/ApMeasureBackground.py:255-330): shrink the requested grid so
+    each box is at least min_bgheight x min_bgwidth, never below 1 box.
+    Returns (n_rows, n_cols)."""
+    n_rows = max(1, min(nbg_rows, h // max(min_bgheight, 1)))
+    n_cols = max(1, min(nbg_cols, w // max(min_bgwidth, 1)))
+    return n_rows, n_cols
+
+
 def run(ns: argparse.Namespace) -> None:
     data, hdr = read_image(ns.input)
     h, w = data.shape
+    n_rows, n_cols = effective_grid(h, w, ns.nbg_rows, ns.nbg_cols,
+                                    ns.min_bgheight, ns.min_bgwidth)
+    if (n_rows, n_cols) != (ns.nbg_rows, ns.nbg_cols):
+        logger.info(f"Box grid reduced to {n_rows}x{n_cols} to respect "
+                    f"minimum box size {ns.min_bgheight}x{ns.min_bgwidth} "
+                    f"on a {h}x{w} image")
     # pad to divisibility by the box grid (edge-replicate), crop after
-    ph = (-h) % ns.nbg_rows
-    pw = (-w) % ns.nbg_cols
+    ph = (-h) % n_rows
+    pw = (-w) % n_cols
     padded = np.pad(data, ((0, ph), (0, pw)), mode="edge")
     smask = source_mask(jnp.asarray(padded), nsigma=3.0, dilate=13)
     bg = background2d(
         jnp.asarray(padded), smask,
-        nboxes_y=ns.nbg_rows, nboxes_x=ns.nbg_cols,
+        nboxes_y=n_rows, nboxes_x=n_cols,
         filter_size=ns.bg_filter_width, sigma=ns.bg_sigmaclip,
         exclude_percentile=ns.bg_badbox_pctile)
     bg = np.asarray(bg)[:h, :w]
     out_hdr = hdr.copy()
     out_hdr["IMAGETYP"] = ("Background Sky", "Background model image")
     out_hdr.add_history(
-        f"Background model: {ns.nbg_rows}x{ns.nbg_cols} boxes, "
+        f"Background model: {n_rows}x{n_cols} boxes, "
         f"filter {ns.bg_filter_width}, sigma {ns.bg_sigmaclip}")
     write_image(ns.output, bg, out_hdr)
     logger.info(f"Background model written to {ns.output} "

@@ -155,3 +155,39 @@ def test_ap_calc_read_noise(tmp_path, capsys):
     assert "READ_NOISE=" in out
     value = float(out.split("READ_NOISE=")[1].split()[0])
     assert value == pytest.approx(rn_e, rel=0.1)
+
+
+def test_ap_measure_background_odd_geometry(tmp_path):
+    """Odd-sized frames must work end-to-end: the grid shrinks to the
+    minimum box size (reference _set_bgbox_size fixups,
+    core/ApMeasureBackground.py:255-330) and the model matches a smooth
+    synthetic gradient away from sources."""
+    from astrophotography_tpu.cli.ap_measure_background import (
+        effective_grid, main as ap_measure_background)
+
+    # grid fixups
+    assert effective_grid(301, 457, 16, 16) == (6, 9)
+    assert effective_grid(4008, 2672, 16, 16) == (16, 16)
+    assert effective_grid(40, 40, 16, 16) == (1, 1)  # never 0 boxes
+
+    rng = np.random.default_rng(50)
+    h, w = 301, 457  # odd, not divisible by anything convenient
+    yy, xx = np.mgrid[0:h, 0:w]
+    sky = 500.0 + 0.3 * xx + 0.15 * yy
+    img = sky + rng.normal(0, 4.0, (h, w))
+    img += synth.gaussian_star((h, w), 150.0, 220.0, 2e5, 4.0)
+    inp = _write(tmp_path, "odd.fits", img)
+    out = str(tmp_path / "bg.fits")
+    sub = str(tmp_path / "sub.fits")
+    rc = ap_measure_background([inp, out, "--subtract", sub])
+    assert rc in (0, None)
+    bg, hdr = read_image(out)
+    assert bg.shape == (h, w)
+    assert hdr["IMAGETYP"] == "Background Sky"
+    # model within a few ADU of the true sky away from the star
+    far = np.ones((h, w), bool)
+    far[120:180, 190:250] = False
+    err = np.abs(bg - sky)[far]
+    assert np.median(err) < 3.0
+    sub_img, _ = read_image(sub)
+    assert abs(np.median(sub_img[far])) < 3.0
