@@ -53,27 +53,31 @@ def parse(argv: Optional[List[str]]) -> argparse.Namespace:
 
 def effective_grid(h: int, w: int, nbg_rows: int, nbg_cols: int,
                    min_bgheight: int = 48, min_bgwidth: int = 48):
-    """Box-grid fixups (the role of the reference's _set_bgbox_size,
-    core/ApMeasureBackground.py:255-330): shrink the requested grid so
-    each box is at least min_bgheight x min_bgwidth, never below 1 box.
-    Returns (n_rows, n_cols)."""
-    n_rows = max(1, min(nbg_rows, h // max(min_bgheight, 1)))
-    n_cols = max(1, min(nbg_cols, w // max(min_bgwidth, 1)))
-    return n_rows, n_cols
+    """Box-grid fixups with the reference's _set_bgbox_size semantics
+    (core/ApMeasureBackground.py:255-330): the box edge is the image
+    split into the requested grid, rounded up to a quantum of 2 and
+    clamped to the minimum box size; the grid then covers the image with
+    ceil(image/box) boxes (photutils Background2D edge_method='pad').
+    Returns (n_rows, n_cols, box_h, box_w)."""
+    q = 2
+    box_h = max(min_bgheight, q * (1 + h // (q * max(nbg_rows, 1))))
+    box_w = max(min_bgwidth, q * (1 + w // (q * max(nbg_cols, 1))))
+    n_rows = max(1, -(-h // box_h))
+    n_cols = max(1, -(-w // box_w))
+    return n_rows, n_cols, box_h, box_w
 
 
 def run(ns: argparse.Namespace) -> None:
     data, hdr = read_image(ns.input)
     h, w = data.shape
-    n_rows, n_cols = effective_grid(h, w, ns.nbg_rows, ns.nbg_cols,
-                                    ns.min_bgheight, ns.min_bgwidth)
+    n_rows, n_cols, box_h, box_w = effective_grid(
+        h, w, ns.nbg_rows, ns.nbg_cols, ns.min_bgheight, ns.min_bgwidth)
     if (n_rows, n_cols) != (ns.nbg_rows, ns.nbg_cols):
-        logger.info(f"Box grid reduced to {n_rows}x{n_cols} to respect "
-                    f"minimum box size {ns.min_bgheight}x{ns.min_bgwidth} "
-                    f"on a {h}x{w} image")
-    # pad to divisibility by the box grid (edge-replicate), crop after
-    ph = (-h) % n_rows
-    pw = (-w) % n_cols
+        logger.info(f"Box grid adjusted to {n_rows}x{n_cols} boxes of "
+                    f"{box_h}x{box_w} px on a {h}x{w} image")
+    # pad so the box grid covers the image (edge-replicate), crop after
+    ph = n_rows * box_h - h
+    pw = n_cols * box_w - w
     padded = np.pad(data, ((0, ph), (0, pw)), mode="edge")
     smask = source_mask(jnp.asarray(padded), nsigma=3.0, dilate=13)
     bg = background2d(

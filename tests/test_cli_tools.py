@@ -165,10 +165,11 @@ def test_ap_measure_background_odd_geometry(tmp_path):
     from astrophotography_tpu.cli.ap_measure_background import (
         effective_grid, main as ap_measure_background)
 
-    # grid fixups
-    assert effective_grid(301, 457, 16, 16) == (6, 9)
-    assert effective_grid(4008, 2672, 16, 16) == (16, 16)
-    assert effective_grid(40, 40, 16, 16) == (1, 1)  # never 0 boxes
+    # grid fixups: box = max(48, quantum-rounded image/16), grid covers
+    # the image with ceil(image/box) boxes (reference _set_bgbox_size)
+    assert effective_grid(301, 457, 16, 16) == (7, 10, 48, 48)
+    assert effective_grid(4008, 2672, 16, 16) == (16, 16, 252, 168)
+    assert effective_grid(40, 40, 16, 16) == (1, 1, 48, 48)  # never 0 boxes
 
     rng = np.random.default_rng(50)
     h, w = 301, 457  # odd, not divisible by anything convenient
