@@ -48,7 +48,7 @@ class PipelineConfig:
     combine: str = "average"
     #: 'xla' (fused two-sort path), 'pallas' (single-HBM-pass combine
     #: kernel), or 'fused' (warp+combine in ONE Pallas kernel — no
-    #: stack-sized temporaries at all; combine='average' only)
+    #: stack-sized temporaries at all)
     combine_impl: str = "xla"
     #: 'separable' = gather-free two-pass Lanczos3 (TPU fast path),
     #: 'lanczos3' = direct 6x6 gather kernel, 'bilinear' = cheap preview
@@ -72,6 +72,10 @@ class PipelineConfig:
     #: (strongest peak per 64x256 tile — ~17x cheaper per 16-Mpix frame
     #: on TPU; registration fields lose only same-tile neighbors)
     detect_topk: str = "global"
+    #: matched filter: False = exact DAOFIND circular-footprint f32;
+    #: True = separable square-footprint bf16 (~4x cheaper on TPU,
+    #: registration-grade; ops/detect._fast_density)
+    detect_fast: bool = False
     #: fused warp+combine kernel tile (rows, cols); None = auto-size
     #: the tile height to the frame count (VMEM/compile ceiling)
     fused_tile: "tuple | None" = None
@@ -85,9 +89,12 @@ class PipelineConfig:
 @jax.jit
 def frame_noise_stats(frames: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Cheap per-frame (median-ish center, robust std) for detection
-    thresholds: 3 iterations of mean/std clipping on a 4x-subsampled
-    grid — avoids full-frame sorts in the hot path."""
-    sub = frames[:, ::4, ::4].reshape(frames.shape[0], -1)
+    thresholds: 3 iterations of mean/std clipping on an 8x row-subsampled
+    grid — avoids full-frame sorts in the hot path.  Rows only: a
+    lane-axis (column) stride reads ~10x slower than contiguous lanes
+    on TPU, so every 8th FULL row is both cheaper and a larger sample
+    than the ::4,::4 grid it replaces."""
+    sub = frames[:, ::8, :].reshape(frames.shape[0], -1)
     keep = jnp.ones_like(sub, bool)
     center = jnp.mean(sub, axis=1)
     std = jnp.std(sub, axis=1)
@@ -137,7 +144,8 @@ def calibrate_register_stack(
         return find_stars(frame - c, fwhm=config.fwhm,
                           threshold=config.detect_nsigma * s,
                           max_stars=config.max_stars,
-                          topk_mode=config.detect_topk)
+                          topk_mode=config.detect_topk,
+                          mode="fast" if config.detect_fast else "exact")
 
     if config.detect_mode == "chunked" and n > config.detect_chunk:
         # Python-unrolled chunks: unlike lax.map (which costs ~100 ms of
@@ -187,7 +195,7 @@ def calibrate_register_stack(
     matrices = jax.vmap(lambda i: jax.tree_util.tree_map(
         lambda a: a[i], sims).matrix())(jnp.arange(n))
 
-    if config.combine_impl == "fused" and config.combine == "average":
+    if config.combine_impl == "fused":
         # single mega-kernel: per-tile on-chip warp of every frame +
         # sigma-clip combine; no (N, H, W) temporaries exist at all
         from ..ops.pallas_warp_combine import pallas_warp_combine
@@ -201,7 +209,7 @@ def calibrate_register_stack(
         stacked = pallas_warp_combine(
             cal, matrices, span=config.warp_span, tile=config.fused_tile,
             sigma_lower=config.sigma_lower, sigma_upper=config.sigma_upper,
-            apron=apron)
+            apron=apron, combine=config.combine)
         diagnostics = {
             "scale": sims.scale,
             "theta": sims.theta,
@@ -296,8 +304,8 @@ def calibrate_register_stack_lean(
     The f32 calibrated stack never exists: detection calibrates each
     frame chunk transiently, and the fused warp+combine Pallas kernel
     calibrates raw uint16 blocks on-chip (cal = raw*A - B - r*C with
-    A=1/flat, B=bias/flat, C=dark_used/flat).  Requires
-    combine='average'; frames may be uint16.
+    A=1/flat, B=bias/flat, C=dark_used/flat).  Frames may be uint16;
+    combine may be 'average', 'median', or 'sum'.
     """
     from ..ops.pallas_warp_combine import pallas_warp_combine
 
@@ -312,7 +320,8 @@ def calibrate_register_stack_lean(
         return find_stars(frame - ce, fwhm=config.fwhm,
                           threshold=config.detect_nsigma * s,
                           max_stars=config.max_stars,
-                          topk_mode=config.detect_topk)
+                          topk_mode=config.detect_topk,
+                          mode="fast" if config.detect_fast else "exact")
 
     parts = []
     token = jnp.float32(0.0)
@@ -366,7 +375,8 @@ def calibrate_register_stack_lean(
         frames, matrices, masters=masters, exp_ratios=exp_ratios,
         span=config.warp_span, tile=config.fused_tile,
         sigma_lower=config.sigma_lower,
-        sigma_upper=config.sigma_upper, apron=apron)
+        sigma_upper=config.sigma_upper, apron=apron,
+        combine=config.combine)
     diagnostics = {
         "scale": sims.scale, "theta": sims.theta,
         "tx": sims.tx, "ty": sims.ty,

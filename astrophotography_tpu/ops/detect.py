@@ -93,8 +93,60 @@ def _conv2d_same(img: jnp.ndarray, kernel: jnp.ndarray) -> jnp.ndarray:
     return out
 
 
+def _conv_separable_same(img: jnp.ndarray, col: jnp.ndarray,
+                         row: jnp.ndarray) -> jnp.ndarray:
+    """Separable correlation (rank-1 kernel col x row), zero padded.
+
+    Two 1-D tap loops instead of kh*kw 2-D taps; the column pass runs
+    first so the lane-shifted (expensive) row pass touches the already
+    reduced intermediate once."""
+    kh, kw = col.shape[0], row.shape[0]
+    h, w = img.shape
+    padr = jnp.pad(img, ((kh // 2, kh // 2), (0, 0)))
+    t = jnp.zeros_like(img)
+    for dy in range(kh):
+        t = t + col[dy] * padr[dy:dy + h, :]
+    padc = jnp.pad(t, ((0, 0), (kw // 2, kw // 2)))
+    out = jnp.zeros_like(img)
+    for dx in range(kw):
+        out = out + row[dx] * padc[:, dx:dx + w]
+    return out
+
+
+def _fast_density(data: jnp.ndarray, fwhm: float) -> jnp.ndarray:
+    """Registration-grade DAOFIND density: square footprint + bf16.
+
+    With the footprint widened from DAOFIND's circle to the full
+    (2r+1)^2 square, the lowered-Gaussian matched filter is EXACTLY
+    rank 2 — a separable Gaussian minus a constant times a separable
+    box sum — so the 25-tap 2-D conv becomes four 5-tap 1-D passes.
+    Computed in bfloat16 (the density only feeds a relative threshold
+    and peak ranking; amplitude rounding is ~0.5%).  Differences from
+    the exact kernel: the 4 corner pixels (Gaussian weight < 0.09)
+    join the footprint, and bf16 rounding — bounded by
+    tests/test_detect.py::test_fast_mode_matches_exact_on_bright_stars.
+    """
+    import numpy as np
+
+    r = _kernel_radius(fwhm)
+    sigma = fwhm * FWHM_TO_SIGMA
+    d = np.arange(-r, r + 1, dtype=np.float32)
+    gv = np.exp(-0.5 * d * d / sigma ** 2)
+    n = float((2 * r + 1) ** 2)
+    gsum = float(np.sum(gv)) ** 2
+    gsq = float(np.sum(gv * gv)) ** 2
+    denom = gsq - gsum * gsum / n
+    xb = data.astype(jnp.bfloat16)
+    gb = jnp.asarray(gv, jnp.bfloat16)
+    ones = jnp.ones_like(gb)
+    gconv = _conv_separable_same(xb, gb, gb)
+    box = _conv_separable_same(xb, ones, ones)
+    return ((gconv - jnp.bfloat16(gsum / n) * box).astype(jnp.float32)
+            / denom)
+
+
 @functools.partial(jax.jit, static_argnames=("fwhm", "max_stars", "border",
-                                              "topk_mode"))
+                                              "topk_mode", "mode"))
 def find_stars(
     data: jnp.ndarray,
     fwhm: float = 3.0,
@@ -103,6 +155,7 @@ def find_stars(
     mask: Optional[jnp.ndarray] = None,
     border: int = 2,
     topk_mode: str = "global",
+    mode: str = "exact",
 ) -> Stars:
     """Detect star-like sources in background-subtracted data.
 
@@ -115,27 +168,44 @@ def find_stars(
     full-image top_k costs ~17 ms/16-Mpix frame on a v5e while the
     tile reduction is ~1 ms, and registration-grade fields (tens of
     stars per frame) lose at most the occasional same-tile neighbor.
+
+    ``mode``: 'exact' = DAOFIND circular-footprint f32 matched filter;
+    'fast' = separable square-footprint bf16 filter (~4x cheaper on
+    TPU; registration-grade — see :func:`_fast_density`).
     """
     data = data.astype(jnp.float32)
     h, w = data.shape
     kernel, foot, r = daofind_kernel(fwhm)
-    dens = _conv2d_same(data, kernel)
+    if mode == "fast":
+        dens = _fast_density(data, fwhm)
+    else:
+        dens = _conv2d_same(data, kernel)
     if mask is not None:
         dens = jnp.where(mask, -jnp.inf, dens)
 
-    # local maxima over a 3x3 neighborhood, above threshold, off borders
+    # local maxima over a 3x3 neighborhood, above threshold, off borders.
+    # Plateau tie-break: strict > against raster-earlier neighbors,
+    # >= against later ones, so a flat 2-pixel peak (bf16 quantization
+    # in fast mode can produce exact ties) yields exactly one detection
+    # instead of zero.
     pad = jnp.pad(dens, 1, constant_values=-jnp.inf)
-    neigh_max = jnp.full_like(dens, -jnp.inf)
+    nm_earlier = jnp.full_like(dens, -jnp.inf)
+    nm_later = jnp.full_like(dens, -jnp.inf)
     for dy in range(3):
         for dx in range(3):
             if dy == 1 and dx == 1:
                 continue
-            neigh_max = jnp.maximum(neigh_max, pad[dy:dy + h, dx:dx + w])
+            shifted = pad[dy:dy + h, dx:dx + w]
+            if dy * 3 + dx < 4:  # before the center in raster order
+                nm_earlier = jnp.maximum(nm_earlier, shifted)
+            else:
+                nm_later = jnp.maximum(nm_later, shifted)
     rows = jnp.arange(h)[:, None]
     cols = jnp.arange(w)[None, :]
     bmask = ((rows >= border + r) & (rows < h - border - r)
              & (cols >= border + r) & (cols < w - border - r))
-    is_peak = (dens > neigh_max) & (dens > threshold) & bmask
+    is_peak = ((dens > nm_earlier) & (dens >= nm_later)
+               & (dens > threshold) & bmask)
 
     score = jnp.where(is_peak, dens, -jnp.inf)
     tth, ttw = 64, 256

@@ -7,18 +7,23 @@ innermost; each step warps one frame's tile on-chip (two-pass separable
 Lanczos3 with polynomial weights — the same math as
 ops/warp.warp_affine_separable) into a persistent VMEM scratch holding
 the N warped tile rows, and the final frame step runs the single-pass
-median/MAD/clip/average combine and writes the output tile.  Nothing
+median/MAD/clip combine and writes the output tile.  Nothing
 stack-sized is ever allocated beyond the (apron-padded) input itself.
 
 Source delivery uses ordinary BlockSpecs (manual ``make_async_copy``
 from ANY-space inputs does not compile through this environment's
-remote Mosaic toolchain): per (frame, tile) BLOCK-GRANULAR window
-origins, precomputed outside, feed the index maps via scalar prefetch
-(the documented PrefetchScalarGridSpec pattern), a 3x3 neighborhood of
-blocks forms the source window, and the exact sub-block offsets select
-the tap range with dynamic-start VMEM slices.  A one-block horizontal /
-two-block vertical zero apron keeps window origins in range for any
-translation up to a tile.
+remote Mosaic toolchain).  The source window for an output tile is a
+VBx3 block neighborhood whose origin depends ONLY on the tile, not the
+frame: per-tile origins are the union of every frame's tap range,
+precomputed outside and fed to the index maps via scalar prefetch.
+Because the origin is frame-independent and the frame axis is
+innermost, Mosaic's revisiting optimization skips the master-window
+DMAs for all N consecutive frame steps of a tile — the dominant HBM
+saving versus per-(frame, tile) windows (which re-fetched ~27 blocks of
+master planes on every step).  The per-frame sub-window offsets are
+realized as dynamic lane/sublane rotates (``pltpu.roll``) — or, as a
+fallback, one-hot selection matmuls on the MXU — followed by static
+slices.
 """
 
 from __future__ import annotations
@@ -45,79 +50,134 @@ def _l3(t):
     return jnp.where(u < 9.0, acc, 0.0)
 
 
+def _frame_bases(mats_ref, f, i, j, th, tw, span):
+    """Per-(frame, tile) tap-range bases (scalar math, runs in-kernel).
 
-
-def _scalar_bases(mats_ref, f, i, j, th, tw, npi, npj, span, apron):
-    """Per (frame, tile) tap bases and window-origin blocks, computed
-    from the matrix table alone (scalar math; runs in index maps and in
-    the kernel so nothing tile-sized ever occupies SMEM)."""
-    m00 = mats_ref[f, 0]
-    m01 = mats_ref[f, 1]
-    m02 = mats_ref[f, 2]
+    vbase/ubase are the first source row/column the vertical/horizontal
+    tap loops may touch; identical formulas run vectorized outside in
+    :func:`_tile_window_origins` so the per-tile union windows are
+    consistent with the kernel's view."""
     m10 = mats_ref[f, 3]
     m11 = mats_ref[f, 4]
     m12 = mats_ref[f, 5]
     inv_m11 = 1.0 / m11
-    gx = m00 - m01 * m10 * inv_m11
-    gy = m01 * inv_m11
-    g0 = m02 - m01 * m12 * inv_m11
-    ti = (i * th).astype(jnp.float32) if hasattr(i, "astype") \
-        else jnp.float32(i * th)
-    tj = (j * tw).astype(jnp.float32) if hasattr(j, "astype") \
-        else jnp.float32(j * tw)
-
+    gx = mats_ref[f, 0] - mats_ref[f, 1] * m10 * inv_m11
+    gy = mats_ref[f, 1] * inv_m11
+    g0 = mats_ref[f, 2] - mats_ref[f, 1] * m12 * inv_m11
+    ti = jnp.float32(i * th) if not hasattr(i, "astype") \
+        else (i * th).astype(jnp.float32)
+    tj = jnp.float32(j * tw) if not hasattr(j, "astype") \
+        else (j * tw).astype(jnp.float32)
     vmin = None
     for dy in (0.0, th - 1.0):
         for dx in (0.0, tw - 1.0):
             cand = m10 * (tj + dx) + m11 * (ti + dy) + m12
             vmin = cand if vmin is None else jnp.minimum(vmin, cand)
-    vbase = jnp.floor(vmin).astype(jnp.int32) - 3
     umin = None
     for dy in (-3.0, float(th + span)):
         for dx in (0.0, tw - 1.0):
             cand = gx * (tj + dx) + gy * (vmin + dy) + g0
             umin = cand if umin is None else jnp.minimum(umin, cand)
+    vbase = jnp.floor(vmin).astype(jnp.int32) - 3
     ubase = jnp.floor(umin).astype(jnp.int32) - 3
-    oy, ox = (2, 1) if apron else (0, 0)
-    byp = jnp.clip(jnp.floor_divide(vbase, th) + oy, 0, npi - 3)
-    bxp = jnp.clip(jnp.floor_divide(ubase, tw) + ox, 0, npj - 3)
-    # bases stay RAW: the kernel accepts a (frame, tile) only when the
-    # tap offsets land inside the usable window range, which uniformly
-    # covers origin clipping at frame edges and the apron-free mode
-    return byp, bxp, vbase, ubase
+    return vbase, ubase
 
-def _make_kernel(n, th, tw, span, h_in, w_in, npi, npj, sigma_lo, sigma_hi,
-                 apron):
-    wh = 3 * th
 
-    def kernel(mats_ref,
-               b00, b01, b02, b10, b11, b12, b20, b21, b22,
-               m00_, m01_, m02_, m10_, m11_, m12_, m20_, m21_, m22_,
-               out_ref, rows_ref, win_ref, mid_ref):
+def _tile_window_origins(mats6, n_ti, n_tj, th, tw, span,
+                         npi, npj, vb, hb, oy, ox):
+    """Frame-independent per-tile window origins (padded block coords).
+
+    For every tile, the union over frames of the kernel's tap-range
+    bases (same corner formulas as :func:`_frame_bases`, vectorized),
+    floored to the block grid and clipped so a VBxHB neighborhood stays
+    in range.  Returns int32 (n_ti, n_tj) arrays (byp, bxp)."""
+    m = mats6.astype(jnp.float32)
+    m10, m11, m12 = m[:, 3], m[:, 4], m[:, 5]
+    inv_m11 = 1.0 / m11
+    gx = m[:, 0] - m[:, 1] * m10 * inv_m11
+    gy = m[:, 1] * inv_m11
+    g0 = m[:, 2] - m[:, 1] * m12 * inv_m11
+    ti = (jnp.arange(n_ti, dtype=jnp.float32) * th)[None, :, None]
+    tj = (jnp.arange(n_tj, dtype=jnp.float32) * tw)[None, None, :]
+
+    def per_f(a):
+        return a[:, None, None]
+
+    vmin = None
+    for dy in (0.0, th - 1.0):
+        for dx in (0.0, tw - 1.0):
+            cand = per_f(m10) * (tj + dx) + per_f(m11) * (ti + dy) \
+                + per_f(m12)
+            vmin = cand if vmin is None else jnp.minimum(vmin, cand)
+    umin = None
+    for dy in (-3.0, float(th + span)):
+        for dx in (0.0, tw - 1.0):
+            cand = per_f(gx) * (tj + dx) + per_f(gy) * (vmin + dy) \
+                + per_f(g0)
+            umin = cand if umin is None else jnp.minimum(umin, cand)
+    vbase = jnp.floor(vmin).astype(jnp.int32) - 3
+    ubase = jnp.floor(umin).astype(jnp.int32) - 3
+    byp = jnp.clip(jnp.floor_divide(jnp.min(vbase, axis=0), th) + oy,
+                   0, npi - vb)
+    bxp = jnp.clip(jnp.floor_divide(jnp.min(ubase, axis=0), tw) + ox,
+                   0, npj - hb)
+    return byp.astype(jnp.int32), bxp.astype(jnp.int32)
+
+
+def _make_kernel(n, th, tw, span, h_in, w_in, vb, oy, ox,
+                 sigma_lo, sigma_hi, align, combine):
+    wh = vb * th     # window height
+    ww = 3 * tw      # window width
+    thp = -(-(th + span) // 8) * 8       # extracted rows (sublane-padded)
+    twp = -(-(tw + span) // 128) * 128   # aligned cols (lane-padded)
+
+    def kernel(mats_ref, byp_ref, bxp_ref, *refs):
+        nblk = vb * 3
+        blocks = refs[:nblk]
+        mblocks = refs[nblk:2 * nblk]
+        out_ref = refs[2 * nblk]
+        rows_ref = refs[2 * nblk + 1]
+        win_ref = refs[2 * nblk + 2]
         i = pl.program_id(0)
         j = pl.program_id(1)
         f = pl.program_id(2)
-        byp_s, bxp_s, vbase, ubase = _scalar_bases(
-            mats_ref, f, i, j, th, tw, npi, npj, span, apron)
+
+        vbase, ubase = _frame_bases(mats_ref, f, i, j, th, tw, span)
+        win_y0 = (byp_ref[i, j] - oy) * th
+        win_x0 = (bxp_ref[i, j] - ox) * tw
+        offy = vbase - win_y0
+        offx = ubase - win_x0
 
         # assemble + calibrate the source window on-chip:
         # cal = raw * A - B - exp_ratio * C  with A=1/flat,
-        # B=bias/flat, C=dark/flat precomputed outside
+        # B=bias/flat, C=dark/flat precomputed outside.  In roll mode
+        # only the <= 2 block rows this frame's taps can reach
+        # ([offy, offy+th+span)) are calibrated; rows outside feed
+        # nothing (stale values pass through the rotate into the
+        # never-consumed pad rows only).  The one-hot matmul path must
+        # assemble every row: a stale NaN row times a zero one-hot
+        # weight still poisons the product.
         exp_r = mats_ref[f, 6]
-        blocks = ((b00, b01, b02), (b10, b11, b12), (b20, b21, b22))
-        mblocks = ((m00_, m01_, m02_), (m10_, m11_, m12_),
-                   (m20_, m21_, m22_))
-        for dy in range(3):
-            for dx in range(3):
-                raw_blk = blocks[dy][dx][0]
-                if raw_blk.dtype == jnp.uint16:
-                    # Mosaic lacks a direct u16->f32 cast
-                    raw = raw_blk.astype(jnp.int32).astype(jnp.float32)
-                else:
-                    raw = raw_blk.astype(jnp.float32)
-                mb = mblocks[dy][dx]
-                win_ref[dy * th:(dy + 1) * th, dx * tw:(dx + 1) * tw] = \
-                    raw * mb[0] - mb[1] - exp_r * mb[2]  # A, B, C planes
+        for dy in range(vb):
+            if align == "roll":
+                row_needed = (((dy + 1) * th > offy)
+                              & (dy * th < offy + th + span))
+            else:
+                row_needed = offy >= -(10 ** 9)  # always
+
+            @pl.when(row_needed)
+            def _(dy=dy):
+                for dx in range(3):
+                    raw_blk = blocks[dy * 3 + dx][0]
+                    if raw_blk.dtype == jnp.uint16:
+                        # Mosaic lacks a direct u16->f32 cast
+                        raw = raw_blk.astype(jnp.int32).astype(jnp.float32)
+                    else:
+                        raw = raw_blk.astype(jnp.float32)
+                    mb = mblocks[dy * 3 + dx]
+                    win_ref[dy * th:(dy + 1) * th,
+                            dx * tw:(dx + 1) * tw] = \
+                        raw * mb[0] - mb[1] - exp_r * mb[2]  # A, B, C
 
         m00 = mats_ref[f, 0]
         m01 = mats_ref[f, 1]
@@ -130,87 +190,74 @@ def _make_kernel(n, th, tw, span, h_in, w_in, npi, npj, sigma_lo, sigma_hi,
         gy = m01 * inv_m11
         g0 = m02 - m01 * m12 * inv_m11
 
-        # window origins in original (unpadded) source coordinates:
-        # padded block b maps to original rows (b - oy) * th etc.
-        oy, ox = (2, 1) if apron else (0, 0)
-        win_y0 = (byp_s - oy) * th
-        win_x0 = (bxp_s - ox) * tw
-        offy = vbase - win_y0
-        offx = ubase - win_x0
         # the window must contain every tap a COVERED pixel can use:
         # coverage restricts absolute taps to [0, h_in) x [0, w_in), and
         # the tap loops reach [vbase, vbase + th + span).  A clipped
         # window origin at a frame edge still satisfies this (the
         # window ends exactly at the frame edge); only extreme
-        # misalignment (|translation| beyond the apron budget) fails,
-        # and those (frame, tile) pairs are zeroed instead of reading
-        # garbage.  Out-of-window one-hot rows/cols are zero and only
-        # ever meet zero lanczos weight for covered pixels.
+        # misalignment (dither spread beyond the VBx3 union budget)
+        # fails, and those (frame, tile) pairs are zeroed instead of
+        # reading garbage (rotate wraparound / one-hot zero rows only
+        # ever meet coverage-excluded pixels).
         base_ok = ((win_y0 <= jnp.maximum(vbase, 0))
-                   & (jnp.minimum(vbase + th + span, h_in)
-                      <= win_y0 + 3 * th)
+                   & (jnp.minimum(vbase + th + span, h_in) <= win_y0 + wh)
                    & (win_x0 <= jnp.maximum(ubase, 0))
-                   & (jnp.minimum(ubase + tw + span, w_in)
-                      <= win_x0 + 3 * tw))
+                   & (jnp.minimum(ubase + tw + span, w_in) <= win_x0 + ww))
 
+        # align the per-frame tap range to the window start:
+        # ext[r', c'] = win[offy + r', offx + c']  for the thp x twp
+        # region the tap loops touch
+        if align == "roll":
+            rolled = pltpu.roll(win_ref[:, :], jnp.mod(-offy, wh), axis=0)
+            ext = rolled[0:thp, :]
+            alig = pltpu.roll(ext, jnp.mod(-offx, ww), axis=1)[:, 0:twp]
+        else:  # one-hot selection matmuls on the MXU
+            r_e = jax.lax.broadcasted_iota(jnp.int32, (thp, wh), 0)
+            c_e = jax.lax.broadcasted_iota(jnp.int32, (thp, wh), 1)
+            p_e = (c_e == r_e + offy).astype(jnp.float32)
+            ext = jnp.dot(p_e, win_ref[:, :],
+                          preferred_element_type=jnp.float32)
+            r_h = jax.lax.broadcasted_iota(jnp.int32, (ww, twp), 0)
+            c_h = jax.lax.broadcasted_iota(jnp.int32, (ww, twp), 1)
+            p_h = (r_h == c_h + offx).astype(jnp.float32)
+            alig = jnp.dot(ext, p_h, preferred_element_type=jnp.float32)
+
+        # horizontal pass over the thp extracted rows (source rows
+        # vbase + r'); output columns j*tw + c
+        sr = jax.lax.broadcasted_iota(jnp.int32, (thp, tw), 0) \
+            .astype(jnp.float32)
+        sc = jax.lax.broadcasted_iota(jnp.int32, (thp, tw), 1) \
+            .astype(jnp.float32)
+        yprime = vbase.astype(jnp.float32) + sr
+        x_cols = j.astype(jnp.float32) * tw + sc
+        u = gx * x_cols + gy * yprime + g0
+        u_loc = u - ubase.astype(jnp.float32)
+
+        acc = jnp.zeros((thp, tw), jnp.float32)
+        wsum = jnp.zeros((thp, tw), jnp.float32)
+        for s in range(span):
+            wgt = _l3(u_loc - (sc + s))
+            acc = acc + wgt * alig[:, s:s + tw]
+            wsum = wsum + wgt
+        safe = jnp.abs(wsum) > 1e-3
+        mid = jnp.where(safe, acc / jnp.where(safe, wsum, 1.0), 0.0)
+
+        # vertical pass onto the output tile
         rr = jax.lax.broadcasted_iota(jnp.int32, (th, tw), 0) \
             .astype(jnp.float32)
         cc = jax.lax.broadcasted_iota(jnp.int32, (th, tw), 1) \
             .astype(jnp.float32)
         y_out = i.astype(jnp.float32) * th + rr
         x_out = j.astype(jnp.float32) * tw + cc
-
-        # horizontal pass over the window rows the vertical pass will tap:
-        # source rows vbase + s2 for s2 in [0, th + span); we resample
-        # rows [offy, offy + th + span) of the window.  mid rows are
-        # window-local starting at offy.
-        sr = jax.lax.broadcasted_iota(jnp.int32, (wh, tw), 0) \
-            .astype(jnp.float32)
-        sc = jax.lax.broadcasted_iota(jnp.int32, (wh, tw), 1) \
-            .astype(jnp.float32)
-        yprime = win_y0.astype(jnp.float32) + sr       # absolute source row
-        x_cols = j.astype(jnp.float32) * tw + sc       # output column
-        u = gx * x_cols + gy * yprime + g0
-        u_loc = u - ubase.astype(jnp.float32)
-
-        # dynamic-start VMEM slices do not compile through this remote
-        # Mosaic toolchain; realize the dynamic sub-block shift as a
-        # one-hot selection matmul on the MXU, then slice statically.
-        twp = tw + 128  # aligned width covering tw + span
-        rows_i = jax.lax.broadcasted_iota(jnp.int32, (3 * tw, twp), 0)
-        cols_i = jax.lax.broadcasted_iota(jnp.int32, (3 * tw, twp), 1)
-        p_h = (rows_i == cols_i + offx).astype(jnp.float32)
-        aligned_h = jnp.dot(win_ref[:, :], p_h,
-                            preferred_element_type=jnp.float32)
-
-        acc = jnp.zeros((wh, tw), jnp.float32)
-        wsum = jnp.zeros((wh, tw), jnp.float32)
-        for s in range(span):
-            w = _l3(u_loc - (sc + s))
-            acc = acc + w * aligned_h[:, s:s + tw]
-            wsum = wsum + w
-        safe = jnp.abs(wsum) > 1e-3
-        mid_ref[:, :] = jnp.where(safe, acc / jnp.where(safe, wsum, 1.0),
-                                  0.0)
-
         v = m10 * x_out + m11 * y_out + m12
         v_loc = v - vbase.astype(jnp.float32)
-        thp = th + span
-        rows_v = jax.lax.broadcasted_iota(jnp.int32, (wh, thp), 0)
-        cols_v = jax.lax.broadcasted_iota(jnp.int32, (wh, thp), 1)
-        p_v = (rows_v == cols_v + offy).astype(jnp.float32)
-        # aligned_v[r', c] = mid[offy + r', c]
-        aligned_v = jax.lax.dot_general(
-            p_v, mid_ref[:, :],
-            dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
 
         acc2 = jnp.zeros((th, tw), jnp.float32)
         wsum2 = jnp.zeros((th, tw), jnp.float32)
         for s in range(span):
-            w = _l3(v_loc - (rr + s))
-            acc2 = acc2 + w * aligned_v[s:s + th, :]
-            wsum2 = wsum2 + w
+            wgt = _l3(v_loc - (rr + s))
+            acc2 = acc2 + wgt * mid[s:s + th, :]
+            wsum2 = wsum2 + wgt
         safe2 = jnp.abs(wsum2) > 1e-3
         warped = jnp.where(safe2, acc2 / jnp.where(safe2, wsum2, 1.0), 0.0)
 
@@ -260,19 +307,39 @@ def _make_kernel(n, th, tw, span, h_in, w_in, npi, npj, sigma_lo, sigma_hi,
             hi_b = med + sigma_hi * std
             acc3 = jnp.zeros((th, tw), jnp.float32)
             cnt = jnp.zeros((th, tw), jnp.float32)
+            below = jnp.zeros((th, tw), jnp.int32)
             for fr, v_ in zip(frames, valid):
                 keep = v_ & (fr >= lo_b) & (fr <= hi_b)
                 acc3 = acc3 + jnp.where(keep, fr, 0.0)
                 cnt = cnt + keep.astype(jnp.float32)
-            out_ref[:, :] = jnp.where(cnt > 0,
-                                      acc3 / jnp.maximum(cnt, 1.0), 0.0)
+                below = below + (v_ & (fr < lo_b)).astype(jnp.int32)
+            if combine == "median":
+                # masked median of the KEPT values (ops/stack semantics:
+                # clip, then median).  Kept values are contiguous in the
+                # valid-ascending sort: ranks [below, below + cnt)
+                cnti = cnt.astype(jnp.int32)
+                klo = below + jnp.maximum((cnti - 1) // 2, 0)
+                khi = below + jnp.maximum(cnti // 2, 0)
+                m_lo = jnp.zeros((th, tw), jnp.float32)
+                m_hi = jnp.zeros((th, tw), jnp.float32)
+                for k in range(n):
+                    m_lo = jnp.where(klo == k, srt[k], m_lo)
+                    m_hi = jnp.where(khi == k, srt[k], m_hi)
+                out_ref[:, :] = jnp.where(cnt > 0, 0.5 * (m_lo + m_hi), 0.0)
+            elif combine == "sum":
+                # sum of kept values (ops/stack 'sum')
+                out_ref[:, :] = jnp.where(cnt > 0, acc3, 0.0)
+            else:
+                out_ref[:, :] = jnp.where(
+                    cnt > 0, acc3 / jnp.maximum(cnt, 1.0), 0.0)
 
     return kernel
 
 
 @functools.partial(jax.jit,
                    static_argnames=("tile", "span", "sigma_lower",
-                                    "sigma_upper", "apron", "interpret"))
+                                    "sigma_upper", "apron", "align",
+                                    "combine", "interpret"))
 def pallas_warp_combine(
     cal: jnp.ndarray,
     matrices: jnp.ndarray,
@@ -283,9 +350,11 @@ def pallas_warp_combine(
     sigma_lower: float = 5.0,
     sigma_upper: float = 5.0,
     apron: bool = True,
+    align: str = "roll",
+    combine: str = "average",
     interpret: bool = False,
 ) -> jnp.ndarray:
-    """Warp every frame by its matrix and sigma-clip-average, fused —
+    """Warp every frame by its matrix and sigma-clip-combine, fused —
     optionally calibrating RAW frames on-chip so the f32 calibrated
     stack never exists.
 
@@ -295,7 +364,11 @@ def pallas_warp_combine(
     stacking-scale rotations; ``masters`` (3, H, W): A=1/flat,
     B=bias/flat, C=dark/flat so cal = raw*A - B - exp_ratio*C;
     ``exp_ratios`` (N,) light/dark exposure ratios (default 1).
-    H, W must be divisible by the tile.  Returns (H, W).
+    ``align`` is 'roll' (dynamic lane/sublane rotates) or 'onehot'
+    (MXU selection matmuls — fallback for toolchains without dynamic
+    rotate).  ``combine`` is 'average' (sigma-clipped mean), 'median'
+    (plain masked median, swarp COMBINE_TYPE MEDIAN), or 'sum'
+    (clip-rescaled sum).  Returns (H, W).
     """
     import jax as _jax
 
@@ -305,7 +378,10 @@ def pallas_warp_combine(
                                    exp_ratios=exp_ratios, tile=tile,
                                    span=span, sigma_lower=sigma_lower,
                                    sigma_upper=sigma_upper, apron=apron,
+                                   align=align, combine=combine,
                                    interpret=True)
+    if combine not in ("average", "median", "sum"):
+        raise ValueError(f"unknown combine '{combine}'")
     n, h0, w0 = cal.shape
     if tile is None:
         # auto tile height: the persistent warped-rows scratch is
@@ -331,6 +407,7 @@ def pallas_warp_combine(
         cal_p = jnp.pad(cal, ((0, 0), (2 * th, 2 * th + ph), (tw, tw + pw)))
         npi = n_ti + 4   # padded block rows
         npj = n_tj + 2   # padded block cols
+        oy, ox = 2, 1
     else:
         # apron-free (memory-critical stacks): no padded copy at all;
         # edge tiles whose windows would need the apron are excluded
@@ -344,6 +421,10 @@ def pallas_warp_combine(
             cal_p = cal
         npi = n_ti
         npj = n_tj
+        oy, ox = 0, 0
+    # vertical window: 4 blocks when available (dither-spread slack of
+    # ~2*th - (th + span) px across the frame set), else 3
+    vb = 4 if npi >= 4 else 3
 
     mats6 = matrices.reshape(n, 6).astype(jnp.float32)
     if exp_ratios is None:
@@ -351,6 +432,8 @@ def pallas_warp_combine(
     mats = jnp.concatenate(
         [mats6, exp_ratios.reshape(n, 1).astype(jnp.float32),
          jnp.zeros((n, 1), jnp.float32)], axis=1)  # (n, 8)
+    byp, bxp = _tile_window_origins(mats6, n_ti, n_tj, th, tw, span,
+                                    npi, npj, vb, 3, oy, ox)
 
     if masters is None:
         # identity calibration: A=1, B=0, C=0
@@ -368,42 +451,44 @@ def pallas_warp_combine(
     # only, which never contribute
 
     def make_map(dy, dx):
-        def index_map(i, j, f, mats_ref):
-            byp, bxp, _vb, _ub = _scalar_bases(
-                mats_ref, f, i, j, th, tw, npi, npj, span, apron)
-            return (f, byp + dy, bxp + dx)
+        def index_map(i, j, f, mats_ref, byp_ref, bxp_ref):
+            return (f, byp_ref[i, j] + dy, bxp_ref[i, j] + dx)
         return index_map
 
-    def make_mmap(dy, dx, plane):
-        def index_map(i, j, f, mats_ref):
-            byp, bxp, _vb, _ub = _scalar_bases(
-                mats_ref, f, i, j, th, tw, npi, npj, span, apron)
-            return (plane, byp + dy, bxp + dx)
+    def make_mmap(dy, dx):
+        def index_map(i, j, f, mats_ref, byp_ref, bxp_ref):
+            return (0, byp_ref[i, j] + dy, bxp_ref[i, j] + dx)
         return index_map
 
     in_specs = [pl.BlockSpec((1, th, tw), make_map(dy, dx))
-                for dy in range(3) for dx in range(3)]
-    # master windows: one (3, th, tw) block per neighborhood position
-    in_specs += [pl.BlockSpec((3, th, tw), make_mmap(dy, dx, 0))
-                 for dy in range(3) for dx in range(3)]
+                for dy in range(vb) for dx in range(3)]
+    # master windows: one (3, th, tw) block per neighborhood position;
+    # their index maps are frame-independent, so Mosaic revisiting
+    # fetches each tile's master window once, not once per frame
+    in_specs += [pl.BlockSpec((3, th, tw), make_mmap(dy, dx))
+                 for dy in range(vb) for dx in range(3)]
 
-    kernel = _make_kernel(n, th, tw, span, h0, w0, npi, npj,
-                          float(sigma_lower), float(sigma_upper), apron)
+    kernel = _make_kernel(n, th, tw, span, h0, w0, vb, oy, ox,
+                          float(sigma_lower), float(sigma_upper),
+                          align, combine)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=3,
         grid=(n_ti, n_tj, n),
         in_specs=in_specs,
         out_specs=pl.BlockSpec((th, tw), lambda i, j, f, *_: (i, j)),
         scratch_shapes=[
             pltpu.VMEM((n, th, tw), jnp.float32),
-            pltpu.VMEM((3 * th, 3 * tw), jnp.float32),
-            pltpu.VMEM((3 * th, tw), jnp.float32),
+            pltpu.VMEM((vb * th, 3 * tw), jnp.float32),
         ],
     )
     out = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((h, w), jnp.float32),
         grid_spec=grid_spec,
+        # the combine step's sort network keeps ~3 stack-depth copies of
+        # the N tile rows live; at N=100 that needs more scoped VMEM
+        # than the 16 MB default (measured 16.4 MB)
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
-    )(mats, *([cal_p] * 9), *([mast_p] * 9))
+    )(mats, byp, bxp, *([cal_p] * (vb * 3)), *([mast_p] * (vb * 3)))
     return out[:h0, :w0]

@@ -17,9 +17,11 @@ from .mesh import (
     replicate,
 )
 from .halo import halo_exchange_rows, sharded_map_overlap
+from .fused import sharded_warp_combine
 from .pipeline import AsyncWriter, PrefetchLoader, stream_stacks
 
 __all__ = [
+    "sharded_warp_combine",
     "frame_space_mesh",
     "shard_frames",
     "shard_spatial",

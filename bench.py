@@ -64,8 +64,9 @@ def _attempt(n_frames: int, size: int, repeats: int,
         # apron-free fused warp+combine, tile-mode peak ranking — the
         # only configuration that fits 100x16-Mpix on one chip
         cfg = PipelineConfig(max_stars=48, match_k=10,
-                             detect_mode="chunked", detect_chunk=4,
-                             detect_topk="tile", fused_apron=False)
+                             detect_mode="chunked", detect_chunk=2,
+                             detect_topk="tile", detect_fast=True,
+                             warp_span=10, fused_apron=False)
         frames_d = jnp.asarray(frames)
         bias_d = jnp.asarray(bias)
 

@@ -12,7 +12,7 @@ from astrophotography_tpu.ops.warp import warp_affine_separable
 from astrophotography_tpu.ops.stack import sigma_clip_combine
 
 
-def _reference(cal, mats, span=12):
+def _reference(cal, mats, span=12, method="average"):
     outs = []
     covers = []
     for f in range(cal.shape[0]):
@@ -23,7 +23,8 @@ def _reference(cal, mats, span=12):
     warped = jnp.stack(outs)
     weights = jnp.stack(covers)
     out = sigma_clip_combine(warped, mask=weights > 0.5,
-                             sigma_lower=5.0, sigma_upper=5.0)
+                             sigma_lower=5.0, sigma_upper=5.0,
+                             method=method)
     return np.asarray(jnp.where(jnp.isnan(out), 0.0, out))
 
 
@@ -53,6 +54,30 @@ def test_fused_matches_unfused():
     np.testing.assert_allclose(got[inner], ref[inner], rtol=1e-4, atol=0.5)
     # zero-coverage borders agree too
     np.testing.assert_array_equal(got == 0.0, ref == 0.0)
+
+
+@pytest.mark.parametrize("method", ["median", "sum"])
+def test_fused_combine_modes_match_unfused(method):
+    """combine='median'/'sum' (reference swarp COMBINE_TYPE MEDIAN /
+    ccdproc sum, resample_all.sh:62-79) match the unfused path."""
+    cal, mats = _make_inputs(n=6, seed=11)
+    ref = _reference(cal, mats, method=method)
+    got = np.asarray(pallas_warp_combine(cal, mats, tile=(32, 64),
+                                         combine=method, interpret=True))
+    inner = ref != 0.0
+    np.testing.assert_allclose(got[inner], ref[inner], rtol=1e-4, atol=0.5)
+    np.testing.assert_array_equal(got == 0.0, ref == 0.0)
+
+
+def test_fused_onehot_alignment_matches_roll():
+    """The one-hot MXU alignment fallback is numerically identical to
+    the dynamic-rotate path."""
+    cal, mats = _make_inputs(n=4, seed=2)
+    a = np.asarray(pallas_warp_combine(cal, mats, tile=(32, 64),
+                                       align="roll", interpret=True))
+    b = np.asarray(pallas_warp_combine(cal, mats, tile=(32, 64),
+                                       align="onehot", interpret=True))
+    np.testing.assert_allclose(a, b, rtol=0, atol=1e-5)
 
 
 def test_fused_rejects_outlier_frame():
@@ -105,6 +130,13 @@ def test_fused_apron_free_interior_matches():
     # never invents values
     diff = (free != full)
     assert np.all(free[diff] == 0.0)
+    # ...and every dropped pixel lies inside the documented border ring
+    # (one tile + warp span + lanczos margin from the nearest edge)
+    ys, xs = np.nonzero(diff)
+    h, w = free.shape
+    edge_dist = np.minimum(np.minimum(ys, h - 1 - ys),
+                           np.minimum(xs, w - 1 - xs))
+    assert edge_dist.size == 0 or edge_dist.max() < m
 
 
 def test_fused_apron_free_needs_three_blocks():

@@ -1,0 +1,77 @@
+"""Row-sharded fused warp+combine (parallel/fused.py) vs the
+single-device kernel on the 8-device CPU mesh.
+
+Geometry note: the Pallas interpreter's per-grid-step cost scales with
+the full operand size on this 1-core host, so the in-suite test runs
+8-way sharding at 512^2; the same parity was validated one-off at
+6 x 1024^2 / 8-way (max |err| 5e-4, identical zero pattern — see
+PERFORMANCE.md "Multi-chip").
+"""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from astrophotography_tpu.parallel import frame_space_mesh, sharded_warp_combine
+from astrophotography_tpu.ops.pallas_warp_combine import pallas_warp_combine
+
+
+def _stack(n=8, h=2048, w=2048, seed=0, dither=6.0):
+    rng = np.random.default_rng(seed)
+    # smooth synthetic field: a gradient + coarse-grid structure (full
+    # per-pixel noise would dominate interpreter runtime without
+    # changing what the test checks)
+    yy = np.linspace(0, 30, h, dtype=np.float32)[:, None]
+    xx = np.linspace(0, 20, w, dtype=np.float32)[None, :]
+    base = 800.0 + yy + xx
+    small = rng.normal(0, 5, (h // 16, w // 16)).astype(np.float32)
+    base = base + np.kron(small, np.ones((16, 16), np.float32))
+    frames = np.stack([base + float(i) for i in range(n)])
+    mats = []
+    for f in range(n):
+        theta = 0.0 if f == 0 else rng.uniform(-0.0005, 0.0005)
+        tx, ty = (0.0, 0.0) if f == 0 else rng.uniform(-dither, dither, 2)
+        c, s = np.cos(theta), np.sin(theta)
+        mats.append([[c, -s, tx], [s, c, ty]])
+    return (jnp.asarray(frames.astype(np.float32)),
+            jnp.asarray(np.asarray(mats, np.float32)))
+
+
+def test_sharded_fused_matches_single_device():
+    devs = jax.devices()
+    assert len(devs) >= 8
+    mesh = frame_space_mesh(n_frame=1, n_space=8, devices=devs[:8])
+    cal, mats = _stack(n=4, h=256, w=512, dither=3.0)
+
+    # big tiles: the CPU interpreter pays per-grid-step overhead, and
+    # unlike the real chip has no VMEM ceiling
+    ref = np.asarray(pallas_warp_combine(cal, mats, tile=(128, 512)))
+    with mesh:
+        got = np.asarray(sharded_warp_combine(cal, mats, mesh, halo=16,
+                                              tile=(64, 512)))
+    assert got.shape == ref.shape
+    # interior parity: the sharded path's global-edge halo handling may
+    # differ from the single-device apron within halo+6 rows of the
+    # global top/bottom (documented in parallel/fused.py)
+    m = 16 + 8
+    inner_g = got[m:-m, :]
+    inner_r = ref[m:-m, :]
+    both = (inner_g != 0) & (inner_r != 0)
+    assert both.mean() > 0.9
+    # allow a few ulp-level sigma-clip tie flips (a frame value exactly
+    # at a clip bound can be kept in one arithmetic order and rejected
+    # in the other); everything else must agree tightly
+    err = np.abs(inner_g[both] - inner_r[both])
+    tol = 0.5 + 1e-4 * np.abs(inner_r[both])
+    assert (err > tol).mean() < 1e-4
+    assert np.median(err) < 1e-3
+    np.testing.assert_array_equal(inner_g == 0.0, inner_r == 0.0)
+
+
+def test_sharded_fused_rejects_bad_halo():
+    devs = jax.devices()
+    mesh = frame_space_mesh(n_frame=1, n_space=8, devices=devs[:8])
+    cal, mats = _stack(n=2, h=256, w=512)
+    with pytest.raises(ValueError):
+        sharded_warp_combine(cal, mats, mesh, halo=64)  # halo >= band
