@@ -72,6 +72,11 @@ class PipelineConfig:
     #: (strongest peak per 64x256 tile — ~17x cheaper per 16-Mpix frame
     #: on TPU; registration fields lose only same-tile neighbors)
     detect_topk: str = "global"
+    #: registration reference frame: an index, or 'auto' to pick the
+    #: frame with the most detected stars (the reference workflow picks
+    #: reference frames from the quality report; a bad frame 0 would
+    #: otherwise degrade the whole stack)
+    ref_frame: "int | str" = 0
     #: matched filter: False = exact DAOFIND circular-footprint f32;
     #: True = separable square-footprint bf16 (~4x cheaper on TPU,
     #: registration-grade; ops/detect._fast_density)
@@ -106,6 +111,16 @@ def frame_noise_stats(frames: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
         std = jnp.sqrt(var)
         keep = keep & (jnp.abs(sub - center[:, None]) < 3.0 * std[:, None])
     return center, std
+
+
+def _ref_index(stars, config: PipelineConfig):
+    """Registration reference frame index: a fixed index, or 'auto' =
+    the frame with the most detected stars (the reference workflow picks
+    reference frames from the quality report rather than blindly using
+    the first light; see ApQualitySummarizer usage in SURVEY.md)."""
+    if config.ref_frame == "auto":
+        return jnp.argmax(jnp.sum(stars.valid, axis=1))
+    return jnp.int32(config.ref_frame)
 
 
 @functools.partial(jax.jit, static_argnames=("config",))
@@ -173,7 +188,8 @@ def calibrate_register_stack(
     else:
         stars = jax.vmap(detect)(cal, center, std)
 
-    ref = jax.tree_util.tree_map(lambda a: a[0], stars)
+    ref_idx = _ref_index(stars, config)
+    ref = jax.tree_util.tree_map(lambda a: a[ref_idx], stars)
 
     def est(i):
         tgt = jax.tree_util.tree_map(lambda a: a[i], stars)
@@ -183,13 +199,13 @@ def calibrate_register_stack(
             k=config.match_k)
 
     sims = jax.vmap(est)(jnp.arange(n))
-    # frame 0 must map with the identity; overwrite for exactness
+    # the reference frame must map with the identity; overwrite exactly
     ident = Similarity(
         scale=jnp.ones(()), theta=jnp.zeros(()), tx=jnp.zeros(()),
         ty=jnp.zeros(()), n_inliers=jnp.int32(config.max_stars),
         rms=jnp.zeros(()))
     sims = jax.tree_util.tree_map(
-        lambda all_v, id_v: all_v.at[0].set(id_v), sims,
+        lambda all_v, id_v: all_v.at[ref_idx].set(id_v), sims,
         jax.tree_util.tree_map(lambda x: jnp.asarray(x), ident))
 
     matrices = jax.vmap(lambda i: jax.tree_util.tree_map(
@@ -218,6 +234,7 @@ def calibrate_register_stack(
             "n_inliers": sims.n_inliers,
             "rms": sims.rms,
             "n_stars": jnp.sum(stars.valid, axis=1),
+            "ref_frame": ref_idx,
         }
         return stacked, diagnostics
 
@@ -285,6 +302,7 @@ def calibrate_register_stack(
         "n_inliers": sims.n_inliers,
         "rms": sims.rms,
         "n_stars": jnp.sum(stars.valid, axis=1),
+        "ref_frame": ref_idx,
     }
     return stacked, diagnostics
 
@@ -341,7 +359,8 @@ def calibrate_register_stack_lean(
     stars = jax.tree_util.tree_map(
         lambda *xs: jnp.concatenate(xs, axis=0), *parts)
 
-    ref = jax.tree_util.tree_map(lambda a: a[0], stars)
+    ref_idx = _ref_index(stars, config)
+    ref = jax.tree_util.tree_map(lambda a: a[ref_idx], stars)
 
     def est(i):
         tgt = jax.tree_util.tree_map(lambda a: a[i], stars)
@@ -355,7 +374,7 @@ def calibrate_register_stack_lean(
         ty=jnp.zeros(()), n_inliers=jnp.int32(config.max_stars),
         rms=jnp.zeros(()))
     sims = jax.tree_util.tree_map(
-        lambda all_v, id_v: all_v.at[0].set(id_v), sims,
+        lambda all_v, id_v: all_v.at[ref_idx].set(id_v), sims,
         jax.tree_util.tree_map(lambda x: jnp.asarray(x), ident))
     matrices = jax.vmap(lambda i: jax.tree_util.tree_map(
         lambda a: a[i], sims).matrix())(jnp.arange(n))
@@ -382,5 +401,6 @@ def calibrate_register_stack_lean(
         "tx": sims.tx, "ty": sims.ty,
         "n_inliers": sims.n_inliers, "rms": sims.rms,
         "n_stars": jnp.sum(stars.valid, axis=1),
+        "ref_frame": ref_idx,
     }
     return stacked, diagnostics

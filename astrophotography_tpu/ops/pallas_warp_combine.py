@@ -384,12 +384,15 @@ def pallas_warp_combine(
         raise ValueError(f"unknown combine '{combine}'")
     n, h0, w0 = cal.shape
     if tile is None:
-        # auto tile height: the persistent warped-rows scratch is
-        # n*th*tw*4 bytes and its sort temporaries set the compile
-        # ceiling (measured: (64,256) ok to n<=48, (40,256) ok at
-        # n=100, (48,256) fails at n=100; tw>256 fails at any n)
-        th = min(64, max(16, (4_200_000 // (max(n, 1) * 256 * 4)) // 8 * 8))
-        tile = (th, 256)
+        # auto tile: the persistent warped-rows scratch (n*th*tw*4 B)
+        # and its sort temporaries set the compile ceiling.  With the
+        # 100 MiB scoped-VMEM limit below, (80, 512) compiles and is
+        # the measured throughput peak at n=100 ((96,512)/(64,1024)
+        # fail); wide tiles amortize per-step grid overhead, so prefer
+        # tw=512 whenever the image is wide enough for 3 window blocks
+        tw = 512 if w0 >= 1536 else 256
+        th = min(80, max(16, (16_400_000 // (max(n, 1) * tw * 4)) // 8 * 8))
+        tile = (th, tw)
     th, tw = tile
     if th <= span:
         raise ValueError("tile height must exceed span")
@@ -488,7 +491,7 @@ def pallas_warp_combine(
         # the combine step's sort network keeps ~3 stack-depth copies of
         # the N tile rows live; at N=100 that needs more scoped VMEM
         # than the 16 MB default (measured 16.4 MB)
-        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(mats, byp, bxp, *([cal_p] * (vb * 3)), *([mast_p] * (vb * 3)))
     return out[:h0, :w0]

@@ -166,6 +166,43 @@ def test_full_pipeline_registers_and_stacks():
     assert np.std(region - np.median(region)) < 10.0
 
 
+def test_pipeline_auto_reference_frame():
+    """ref_frame='auto' registers onto the frame with the most stars —
+    a nearly starless frame 0 (e.g. clouds) no longer poisons the stack
+    (the reference picks reference frames from the quality report)."""
+    frames, truths, (bx, by, bf) = _make_dithered_stack()
+    rng = np.random.default_rng(8)
+    # ruin frame 0: pure noise, no stars
+    frames = frames.copy()
+    frames[0] = 200.0 + rng.normal(0, 5.0, frames[0].shape) \
+        .astype(np.float32)
+
+    cfg = PipelineConfig(max_stars=32, match_k=12, ref_frame="auto")
+    stacked, diag = calibrate_register_stack(jnp.asarray(frames),
+                                             config=cfg)
+    ref_idx = int(diag["ref_frame"])
+    assert ref_idx != 0
+    # the auto reference frame maps with the identity
+    assert float(diag["theta"][ref_idx]) == pytest.approx(0.0, abs=1e-6)
+    assert float(diag["tx"][ref_idx]) == pytest.approx(0.0, abs=1e-6)
+    # every good frame registered onto it with many inliers
+    n_inl = np.asarray(diag["n_inliers"])
+    assert (n_inl[1:] >= 8).all()
+    # stars land at the reference frame's positions
+    theta_r, tx_r, ty_r = truths[ref_idx]
+    from astrophotography_tpu.ops import find_stars, sigma_clipped_stats
+    s = np.asarray(stacked)
+    _, med, std = (float(v) for v in sigma_clipped_stats(s, sigma=3.0))
+    stars = find_stars(s - med, fwhm=3.0, threshold=7.0 * std,
+                       max_stars=64)
+    v = np.asarray(stars.valid)
+    dx, dy = np.asarray(stars.x)[v], np.asarray(stars.y)[v]
+    rx, ry = _apply_sim(bx, by, 1.0, theta_r, tx_r, ty_r)
+    matched = sum(1 for x, y in zip(rx, ry)
+                  if np.hypot(dx - x, dy - y).min() < 1.0)
+    assert matched == len(bx)
+
+
 def test_pipeline_with_calibration_masters():
     frames, truths, _ = _make_dithered_stack(n_frames=4, seed=9)
     bias = np.full(frames.shape[1:], 300.0, np.float32)
