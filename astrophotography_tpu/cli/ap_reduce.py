@@ -38,6 +38,13 @@ def parse(argv: Optional[List[str]]) -> argparse.Namespace:
     p.add_argument("--search_fwhm", type=float, default=3.0)
     p.add_argument("--search_nsigma", type=float, default=7.0)
     p.add_argument("--stack_sigma", type=float, default=5.0)
+    p.add_argument("--ref_frame", default="auto",
+                   help="registration reference: frame index or 'auto' "
+                        "(frame with the most detected stars)")
+    p.add_argument("--stack_engine", default="xla",
+                   choices=("xla", "pallas", "fused"),
+                   help="stack combine engine (fused = memory-lean "
+                        "Pallas warp+combine mega-kernel)")
     p.add_argument("--stack_combine", default="average",
                    choices=["average", "median", "sum"])
     p.add_argument("--profile", default=None, metavar="DIR",
@@ -59,6 +66,9 @@ def run(ns: argparse.Namespace) -> None:
         search_nsigma=ns.search_nsigma,
         stack_sigma=ns.stack_sigma,
         stack_combine=ns.stack_combine,
+        ref_frame=(int(ns.ref_frame) if str(ns.ref_frame).lstrip("-").isdigit()
+                   else ns.ref_frame),
+        combine_impl=ns.stack_engine,
         noclean=not ns.clean,
         quality=not ns.no_quality,
         stack=not ns.no_stack)

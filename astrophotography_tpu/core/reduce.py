@@ -139,6 +139,10 @@ class ReduceConfig:
     search_nsigma: float = 7.0
     stack_sigma: float = 5.0
     stack_combine: str = "average"
+    #: registration reference frame: an index or 'auto' (most stars)
+    ref_frame: "int | str" = "auto"
+    #: stack engine: 'xla', 'pallas', or 'fused' (memory-lean mega-kernel)
+    combine_impl: str = "xla"
     noclean: bool = True          # skip outputs that already exist
     quality: bool = True
     stack: bool = True
@@ -247,7 +251,9 @@ def reduce_all(
                     detect_nsigma=config.search_nsigma,
                     sigma_lower=config.stack_sigma,
                     sigma_upper=config.stack_sigma,
-                    combine=config.stack_combine)
+                    combine=config.stack_combine,
+                    ref_frame=config.ref_frame,
+                    combine_impl=config.combine_impl)
                 # swarp-style FSCALE: stack mixed exposures in the
                 # reference frame's flux units
                 scales = np.asarray([exps[0] / e if e else 1.0

@@ -115,6 +115,12 @@ def pallas_sigma_clip_combine(
     out) and crops the result.  ``interpret=True`` runs the kernel in
     the Pallas interpreter (CPU tests).
     """
+    if jax.default_backend() == "cpu" and not interpret:
+        # Mosaic kernels need the interpreter on the CPU backend
+        return pallas_sigma_clip_combine(stack, mask=mask,
+                                         sigma_lower=sigma_lower,
+                                         sigma_upper=sigma_upper,
+                                         tile=tile, interpret=True)
     stack = stack.astype(jnp.float32)
     n, h, w = stack.shape
     if mask is None:
