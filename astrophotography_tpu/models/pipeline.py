@@ -160,7 +160,8 @@ def calibrate_register_stack(
                           threshold=config.detect_nsigma * s,
                           max_stars=config.max_stars,
                           topk_mode=config.detect_topk,
-                          mode="fast" if config.detect_fast else "exact")
+                          mode="fast" if config.detect_fast else "exact",
+                          stats=False)  # registration needs x/y/flux only
 
     if config.detect_mode == "chunked" and n > config.detect_chunk:
         # Python-unrolled chunks: unlike lax.map (which costs ~100 ms of
@@ -339,7 +340,8 @@ def calibrate_register_stack_lean(
                           threshold=config.detect_nsigma * s,
                           max_stars=config.max_stars,
                           topk_mode=config.detect_topk,
-                          mode="fast" if config.detect_fast else "exact")
+                          mode="fast" if config.detect_fast else "exact",
+                          stats=False)  # registration needs x/y/flux only
 
     parts = []
     token = jnp.float32(0.0)

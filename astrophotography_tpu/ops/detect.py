@@ -141,12 +141,14 @@ def _fast_density(data: jnp.ndarray, fwhm: float) -> jnp.ndarray:
     ones = jnp.ones_like(gb)
     gconv = _conv_separable_same(xb, gb, gb)
     box = _conv_separable_same(xb, ones, ones)
-    return ((gconv - jnp.bfloat16(gsum / n) * box).astype(jnp.float32)
-            / denom)
+    # stay in bf16: the downstream peak search runs on the density at
+    # half the HBM traffic; values are only promoted per peak
+    return ((gconv - jnp.bfloat16(gsum / n) * box)
+            * jnp.bfloat16(1.0 / denom))
 
 
 @functools.partial(jax.jit, static_argnames=("fwhm", "max_stars", "border",
-                                              "topk_mode", "mode"))
+                                              "topk_mode", "mode", "stats"))
 def find_stars(
     data: jnp.ndarray,
     fwhm: float = 3.0,
@@ -156,6 +158,7 @@ def find_stars(
     border: int = 2,
     topk_mode: str = "global",
     mode: str = "exact",
+    stats: bool = True,
 ) -> Stars:
     """Detect star-like sources in background-subtracted data.
 
@@ -171,7 +174,11 @@ def find_stars(
 
     ``mode``: 'exact' = DAOFIND circular-footprint f32 matched filter;
     'fast' = separable square-footprint bf16 filter (~4x cheaper on
-    TPU; registration-grade — see :func:`_fast_density`).
+    TPU; registration-grade — see :func:`_fast_density`); the bf16
+    density also halves the peak-search HBM traffic.
+
+    ``stats=False`` skips the per-star sharpness/roundness/peak-value
+    statistics (zeros returned) — registration only needs x/y/flux.
     """
     data = data.astype(jnp.float32)
     h, w = data.shape
@@ -181,7 +188,8 @@ def find_stars(
     else:
         dens = _conv2d_same(data, kernel)
     if mask is not None:
-        dens = jnp.where(mask, -jnp.inf, dens)
+        dens = jnp.where(mask, -jnp.inf, dens).astype(dens.dtype)
+    thr = jnp.asarray(threshold, dens.dtype)
 
     # local maxima over a 3x3 neighborhood, above threshold, off borders.
     # Plateau tie-break: strict > against raster-earlier neighbors,
@@ -205,7 +213,7 @@ def find_stars(
     bmask = ((rows >= border + r) & (rows < h - border - r)
              & (cols >= border + r) & (cols < w - border - r))
     is_peak = ((dens > nm_earlier) & (dens >= nm_later)
-               & (dens > threshold) & bmask)
+               & (dens > thr) & bmask)
 
     score = jnp.where(is_peak, dens, -jnp.inf)
     tth, ttw = 64, 256
@@ -223,6 +231,7 @@ def find_stars(
         enc = jnp.where(hit, ly * ttw + lx, jnp.int32(2 ** 30))
         loc = jnp.min(enc, axis=(1, 3))
         top_vals, tidx = jax.lax.top_k(m.reshape(-1), max_stars)
+        top_vals = top_vals.astype(jnp.float32)
         valid = jnp.isfinite(top_vals)
         ntj = w // ttw
         l = jnp.take(loc.reshape(-1), tidx)
@@ -239,11 +248,13 @@ def find_stars(
         bmax = jnp.maximum(r0, r1)
         from_r1 = (r1 > r0).astype(jnp.int32)
         top_vals, bidx = jax.lax.top_k(bmax.reshape(-1), max_stars)
+        top_vals = top_vals.astype(jnp.float32)
         valid = jnp.isfinite(top_vals)
         py = (bidx // w) * 2 + jnp.take(from_r1.reshape(-1), bidx)
         px = bidx % w
     else:
         top_vals, top_idx = jax.lax.top_k(score.reshape(-1), max_stars)
+        top_vals = top_vals.astype(jnp.float32)
         valid = jnp.isfinite(top_vals)
         py = top_idx // w
         px = top_idx % w
@@ -254,21 +265,27 @@ def find_stars(
         y0 = jnp.clip(cy - r, 0, h - box)
         x0 = jnp.clip(cx - r, 0, w - box)
         cut = jax.lax.dynamic_slice(data, (y0, x0), (box, box))
-        # sharpness: (peak pixel - footprint mean excl. center) / density
-        center = data[cy, cx]
-        foot_n = jnp.sum(foot) - 1.0
-        foot_mean = (jnp.sum(cut * foot) - center) / foot_n
-        dens_peak = dens[cy, cx]
-        sharp = (center - foot_mean) / jnp.maximum(dens_peak, 1e-12)
-        # roundness: asymmetry of 4-fold symmetric sum of the density cutout
-        dcut = jax.lax.dynamic_slice(dens, (y0, x0), (box, box))
-        sym2 = dcut + dcut[::-1, ::-1]
-        hx = jnp.sum(sym2, axis=0)
-        hy = jnp.sum(sym2, axis=1)
-        sx = jnp.sum(jnp.abs(hx - hx[::-1]))
-        sy = jnp.sum(jnp.abs(hy - hy[::-1]))
-        tot = jnp.sum(jnp.abs(sym2)) + 1e-12
-        roundness = (sx - sy) / tot
+        if stats:
+            # sharpness: (peak pixel - footprint mean excl. center) / density
+            center = data[cy, cx]
+            foot_n = jnp.sum(foot) - 1.0
+            foot_mean = (jnp.sum(cut * foot) - center) / foot_n
+            dens_peak = dens[cy, cx].astype(jnp.float32)
+            sharp = (center - foot_mean) / jnp.maximum(dens_peak, 1e-12)
+            # roundness: asymmetry of 4-fold symmetric sum of the density
+            dcut = jax.lax.dynamic_slice(dens, (y0, x0), (box, box)) \
+                .astype(jnp.float32)
+            sym2 = dcut + dcut[::-1, ::-1]
+            hx = jnp.sum(sym2, axis=0)
+            hy = jnp.sum(sym2, axis=1)
+            sx = jnp.sum(jnp.abs(hx - hx[::-1]))
+            sy = jnp.sum(jnp.abs(hy - hy[::-1]))
+            tot = jnp.sum(jnp.abs(sym2)) + 1e-12
+            roundness = (sx - sy) / tot
+        else:
+            center = jnp.float32(0.0)
+            sharp = jnp.float32(0.0)
+            roundness = jnp.float32(0.0)
         # iterated center of mass on positive data within the box
         pos = jnp.maximum(cut, 0.0)
         ys = jnp.arange(box, dtype=jnp.float32)

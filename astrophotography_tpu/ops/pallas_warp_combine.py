@@ -425,9 +425,12 @@ def pallas_warp_combine(
         npi = n_ti
         npj = n_tj
         oy, ox = 0, 0
-    # vertical window: 4 blocks when available (dither-spread slack of
-    # ~2*th - (th + span) px across the frame set), else 3
-    vb = 4 if npi >= 4 else 3
+    # vertical window: the dither-spread slack is vb*th - thp - (th-1);
+    # 3 blocks suffice when the tile is tall enough (>= 64 px slack),
+    # saving a quarter of the per-step raw DMA and 6 operands
+    thp_est = -(-(th + span) // 8) * 8
+    slack3 = 3 * th - thp_est - (th - 1)  # dither budget with 3 blocks
+    vb = 3 if (slack3 >= 64 or npi < 4) else 4
 
     mats6 = matrices.reshape(n, 6).astype(jnp.float32)
     if exp_ratios is None:
