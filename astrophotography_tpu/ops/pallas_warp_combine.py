@@ -386,12 +386,13 @@ def pallas_warp_combine(
     if tile is None:
         # auto tile: the persistent warped-rows scratch (n*th*tw*4 B)
         # and its sort temporaries set the compile ceiling.  With the
-        # 100 MiB scoped-VMEM limit below, (80, 512) compiles and is
-        # the measured throughput peak at n=100 ((96,512)/(64,1024)
-        # fail); wide tiles amortize per-step grid overhead, so prefer
-        # tw=512 whenever the image is wide enough for 3 window blocks
+        # 110 MiB scoped-VMEM limit below, (112, 512) compiles at n=100
+        # and is the measured throughput peak (4.8 GPix/s standalone);
+        # (128, 512) stalls the Mosaic compiler.  Wide/tall tiles
+        # amortize per-step grid overhead, so prefer tw=512 whenever
+        # the image is wide enough for 3 window blocks
         tw = 512 if w0 >= 1536 else 256
-        th = min(80, max(16, (16_400_000 // (max(n, 1) * tw * 4)) // 8 * 8))
+        th = min(112, max(16, (23_000_000 // (max(n, 1) * tw * 4)) // 8 * 8))
         tile = (th, tw)
     th, tw = tile
     if th <= span:
@@ -494,7 +495,7 @@ def pallas_warp_combine(
         # the combine step's sort network keeps ~3 stack-depth copies of
         # the N tile rows live; at N=100 that needs more scoped VMEM
         # than the 16 MB default (measured 16.4 MB)
-        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=110 * 1024 * 1024),
         interpret=interpret,
     )(mats, byp, bxp, *([cal_p] * (vb * 3)), *([mast_p] * (vb * 3)))
     return out[:h0, :w0]
