@@ -81,6 +81,9 @@ class PipelineConfig:
     #: True = separable square-footprint bf16 (~4x cheaper on TPU,
     #: registration-grade; ops/detect._fast_density)
     detect_fast: bool = False
+    #: with detect_fast: run the density/peak search on 2x row-binned
+    #: data (halves detection cost; centroids stay full-resolution)
+    detect_bin_rows: bool = False
     #: fused warp+combine kernel tile (rows, cols); None = auto-size
     #: the tile height to the frame count (VMEM/compile ceiling)
     fused_tile: "tuple | None" = None
@@ -161,7 +164,8 @@ def calibrate_register_stack(
                           max_stars=config.max_stars,
                           topk_mode=config.detect_topk,
                           mode="fast" if config.detect_fast else "exact",
-                          stats=False)  # registration needs x/y/flux only
+                          stats=False,  # registration needs x/y/flux only
+                          bin_rows=config.detect_bin_rows)
 
     if config.detect_mode == "chunked" and n > config.detect_chunk:
         # Python-unrolled chunks: unlike lax.map (which costs ~100 ms of
@@ -341,7 +345,8 @@ def calibrate_register_stack_lean(
                           max_stars=config.max_stars,
                           topk_mode=config.detect_topk,
                           mode="fast" if config.detect_fast else "exact",
-                          stats=False)  # registration needs x/y/flux only
+                          stats=False,  # registration needs x/y/flux only
+                          bin_rows=config.detect_bin_rows)
 
     parts = []
     token = jnp.float32(0.0)

@@ -113,7 +113,8 @@ def _conv_separable_same(img: jnp.ndarray, col: jnp.ndarray,
     return out
 
 
-def _fast_density(data: jnp.ndarray, fwhm: float) -> jnp.ndarray:
+def _fast_density(data: jnp.ndarray, fwhm: float,
+                  row_sigma_scale: float = 1.0) -> jnp.ndarray:
     """Registration-grade DAOFIND density: square footprint + bf16.
 
     With the footprint widened from DAOFIND's circle to the full
@@ -131,15 +132,18 @@ def _fast_density(data: jnp.ndarray, fwhm: float) -> jnp.ndarray:
     r = _kernel_radius(fwhm)
     sigma = fwhm * FWHM_TO_SIGMA
     d = np.arange(-r, r + 1, dtype=np.float32)
-    gv = np.exp(-0.5 * d * d / sigma ** 2)
+    gc = np.exp(-0.5 * d * d / sigma ** 2)
+    # row axis may be 2x-binned: the PSF is row_sigma_scale as wide there
+    gr = np.exp(-0.5 * d * d / (sigma * row_sigma_scale) ** 2)
     n = float((2 * r + 1) ** 2)
-    gsum = float(np.sum(gv)) ** 2
-    gsq = float(np.sum(gv * gv)) ** 2
+    gsum = float(np.sum(gr)) * float(np.sum(gc))
+    gsq = float(np.sum(gr * gr)) * float(np.sum(gc * gc))
     denom = gsq - gsum * gsum / n
     xb = data.astype(jnp.bfloat16)
-    gb = jnp.asarray(gv, jnp.bfloat16)
-    ones = jnp.ones_like(gb)
-    gconv = _conv_separable_same(xb, gb, gb)
+    grb = jnp.asarray(gr, jnp.bfloat16)
+    gcb = jnp.asarray(gc, jnp.bfloat16)
+    ones = jnp.ones_like(gcb)
+    gconv = _conv_separable_same(xb, grb, gcb)
     box = _conv_separable_same(xb, ones, ones)
     # stay in bf16: the downstream peak search runs on the density at
     # half the HBM traffic; values are only promoted per peak
@@ -148,7 +152,8 @@ def _fast_density(data: jnp.ndarray, fwhm: float) -> jnp.ndarray:
 
 
 @functools.partial(jax.jit, static_argnames=("fwhm", "max_stars", "border",
-                                              "topk_mode", "mode", "stats"))
+                                              "topk_mode", "mode", "stats",
+                                              "bin_rows"))
 def find_stars(
     data: jnp.ndarray,
     fwhm: float = 3.0,
@@ -159,6 +164,7 @@ def find_stars(
     topk_mode: str = "global",
     mode: str = "exact",
     stats: bool = True,
+    bin_rows: bool = False,
 ) -> Stars:
     """Detect star-like sources in background-subtracted data.
 
@@ -179,16 +185,31 @@ def find_stars(
 
     ``stats=False`` skips the per-star sharpness/roundness/peak-value
     statistics (zeros returned) — registration only needs x/y/flux.
+
+    ``bin_rows`` (fast mode, stats=False only): run the density and
+    peak search on 2x row-binned data (sublane-cheap; column binning
+    would pay the TPU lane-stride penalty) — halves the detection
+    cost.  Peak rows map back x2 and the full-resolution
+    center-of-mass centroid restores subpixel accuracy.
     """
     data = data.astype(jnp.float32)
     h, w = data.shape
     kernel, foot, r = daofind_kernel(fwhm)
-    if mode == "fast":
+    bin_r = 2 if (bin_rows and mode == "fast" and h % 2 == 0) else 1
+    if bin_r > 1:
+        if stats:
+            raise ValueError("bin_rows requires stats=False (the "
+                             "binned density has no per-star statistics)")
+        det = 0.5 * (data[0::2, :] + data[1::2, :])
+        dens = _fast_density(det, fwhm, row_sigma_scale=0.5)
+    elif mode == "fast":
         dens = _fast_density(data, fwhm)
     else:
         dens = _conv2d_same(data, kernel)
+    hd = h // bin_r
     if mask is not None:
-        dens = jnp.where(mask, -jnp.inf, dens).astype(dens.dtype)
+        mask_d = (mask[0::2, :] | mask[1::2, :]) if bin_r > 1 else mask
+        dens = jnp.where(mask_d, -jnp.inf, dens).astype(dens.dtype)
     thr = jnp.asarray(threshold, dens.dtype)
 
     # local maxima over a 3x3 neighborhood, above threshold, off borders.
@@ -203,27 +224,28 @@ def find_stars(
         for dx in range(3):
             if dy == 1 and dx == 1:
                 continue
-            shifted = pad[dy:dy + h, dx:dx + w]
+            shifted = pad[dy:dy + hd, dx:dx + w]
             if dy * 3 + dx < 4:  # before the center in raster order
                 nm_earlier = jnp.maximum(nm_earlier, shifted)
             else:
                 nm_later = jnp.maximum(nm_later, shifted)
-    rows = jnp.arange(h)[:, None]
+    rows = jnp.arange(hd)[:, None]
     cols = jnp.arange(w)[None, :]
-    bmask = ((rows >= border + r) & (rows < h - border - r)
+    bmask = ((rows >= (border + r + bin_r - 1) // bin_r)
+             & (rows < hd - (border + r + bin_r - 1) // bin_r)
              & (cols >= border + r) & (cols < w - border - r))
     is_peak = ((dens > nm_earlier) & (dens >= nm_later)
                & (dens > thr) & bmask)
 
     score = jnp.where(is_peak, dens, -jnp.inf)
-    tth, ttw = 64, 256
-    if (topk_mode == "tile" and h % tth == 0 and w % ttw == 0
-            and (h // tth) * (w // ttw) >= max_stars):
+    tth, ttw = 64 // bin_r, 256
+    if (topk_mode == "tile" and hd % tth == 0 and w % ttw == 0
+            and (hd // tth) * (w // ttw) >= max_stars):
         # strongest peak per (64, 256) tile, then a tiny cross-tile
         # top_k.  The within-tile argmax is recovered with iota-select
         # (reductions over sublane axis 1 and lane axis 3 of the
         # reshape — no strided slices, no gathers).
-        s4 = score.reshape(h // tth, tth, w // ttw, ttw)
+        s4 = score.reshape(hd // tth, tth, w // ttw, ttw)
         m = jnp.max(s4, axis=(1, 3))
         ly = jax.lax.broadcasted_iota(jnp.int32, s4.shape, 1)
         lx = jax.lax.broadcasted_iota(jnp.int32, s4.shape, 3)
@@ -235,9 +257,9 @@ def find_stars(
         valid = jnp.isfinite(top_vals)
         ntj = w // ttw
         l = jnp.take(loc.reshape(-1), tidx)
-        py = (tidx // ntj) * tth + l // ttw
+        py = ((tidx // ntj) * tth + l // ttw) * bin_r
         px = (tidx % ntj) * ttw + l % ttw
-    elif h % 2 == 0:
+    elif hd % 2 == 0:
         # two vertically adjacent strict 3x3 maxima are impossible, so a
         # pairwise row max halves the top_k input without losing any
         # candidate.  Only the SUBLANE axis is strided: lane-axis
@@ -250,14 +272,21 @@ def find_stars(
         top_vals, bidx = jax.lax.top_k(bmax.reshape(-1), max_stars)
         top_vals = top_vals.astype(jnp.float32)
         valid = jnp.isfinite(top_vals)
-        py = (bidx // w) * 2 + jnp.take(from_r1.reshape(-1), bidx)
+        py = ((bidx // w) * 2 + jnp.take(from_r1.reshape(-1), bidx)) * bin_r
         px = bidx % w
     else:
         top_vals, top_idx = jax.lax.top_k(score.reshape(-1), max_stars)
         top_vals = top_vals.astype(jnp.float32)
         valid = jnp.isfinite(top_vals)
-        py = top_idx // w
+        py = (top_idx // w) * bin_r
         px = top_idx % w
+
+    if bin_r > 1:
+        # the binned peak row is only even-resolved; pick the brighter
+        # of the two full-resolution candidates so the centroid box is
+        # centered (a tiny per-detection gather, not a per-pixel one)
+        py_alt = jnp.clip(py + 1, 0, h - 1)
+        py = jnp.where(data[py_alt, px] > data[py, px], py_alt, py)
 
     box = 2 * r + 1
 

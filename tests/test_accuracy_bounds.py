@@ -26,10 +26,11 @@ def _field(h=512, w=1024, n_stars=40, seed=7):
     return img, truth
 
 
-def _detect(img, topk, mode="exact", max_stars=32):
+def _detect(img, topk, mode="exact", max_stars=32, bin_rows=False):
     _, med, std = (float(v) for v in sigma_clipped_stats(img, sigma=3.0))
     return find_stars(img - med, fwhm=3.0, threshold=7.0 * std,
-                      max_stars=max_stars, topk_mode=topk, mode=mode)
+                      max_stars=max_stars, topk_mode=topk, mode=mode,
+                      stats=not bin_rows, bin_rows=bin_rows)
 
 
 def test_tile_topk_registration_error_bound():
@@ -42,20 +43,28 @@ def test_tile_topk_registration_error_bound():
     img2 = np.roll(np.roll(img, ty_t, axis=0), tx_t, axis=1)
 
     results = {}
-    for topk in ("global", "tile"):
-        s1 = _detect(jnp.asarray(img), topk)
-        s2 = _detect(jnp.asarray(img2), topk)
+    configs = {
+        "global": dict(topk="global"),
+        "tile": dict(topk="tile"),
+        # the full bench lead config: tile top-k + bf16 separable
+        # filter + 2x row-binned peak search
+        "tile+fast+bin": dict(topk="tile", mode="fast", bin_rows=True),
+    }
+    for name, kw in configs.items():
+        s1 = _detect(jnp.asarray(img), **kw)
+        s2 = _detect(jnp.asarray(img2), **kw)
         sim = estimate_similarity(s1.x, s1.y, s1.flux, s1.valid,
                                   s2.x, s2.y, s2.flux, s2.valid, k=10)
         # estimate maps reference star coords onto the target frame's
-        results[topk] = (float(sim.tx), float(sim.ty),
+        results[name] = (float(sim.tx), float(sim.ty),
                          int(sim.n_inliers))
-    for topk, (tx, ty, n_in) in results.items():
-        assert n_in >= 8, topk
-        assert abs(tx - tx_t) < 0.05, (topk, tx)
-        assert abs(ty - ty_t) < 0.05, (topk, ty)
-    assert abs(results["tile"][0] - results["global"][0]) < 0.05
-    assert abs(results["tile"][1] - results["global"][1]) < 0.05
+    for name, (tx, ty, n_in) in results.items():
+        assert n_in >= 8, name
+        assert abs(tx - tx_t) < 0.05, (name, tx)
+        assert abs(ty - ty_t) < 0.05, (name, ty)
+    for name in ("tile", "tile+fast+bin"):
+        assert abs(results[name][0] - results["global"][0]) < 0.05
+        assert abs(results[name][1] - results["global"][1]) < 0.05
 
 
 def test_fast_mode_matches_exact_on_bright_stars():
@@ -88,6 +97,22 @@ def test_fast_mode_matches_exact_on_bright_stars():
         j = np.argmin(np.hypot(fx - ex[i], fy - ey[i]))
         dt = np.hypot(tx_ - fx[j], ty_ - fy[j]).min()
         assert dt < 0.3, f"fast centroid {j} off truth by {dt:.3f} px"
+
+
+def test_binned_detection_centroid_accuracy():
+    """2x row-binned peak search (detect_bin_rows): the full-resolution
+    center-of-mass centroid keeps every bright star within 0.35 px of
+    the injected truth even though the peak row is only known to the
+    binned grid."""
+    img, truth = _field(seed=13)
+    s = _detect(jnp.asarray(img), "global", mode="fast", bin_rows=True)
+    fx = np.asarray(s.x)[np.asarray(s.valid)]
+    fy = np.asarray(s.y)[np.asarray(s.valid)]
+    flux = np.asarray(truth["flux"])
+    order = np.argsort(flux)[::-1][:12]
+    for i in order:
+        d = np.hypot(fx - truth["x"][i], fy - truth["y"][i]).min()
+        assert d < 0.35, f"star {i} off truth by {d:.3f} px"
 
 
 def test_aperture_sum_matches_exact_overlap():
