@@ -319,6 +319,7 @@ def calibrate_register_stack_lean(
     dark: Optional[jnp.ndarray] = None,
     flat: Optional[jnp.ndarray] = None,
     exp_ratios: Optional[jnp.ndarray] = None,
+    flux_scales: Optional[jnp.ndarray] = None,
     config: PipelineConfig = PipelineConfig(),
 ):
     """Memory-lean variant of :func:`calibrate_register_stack` for
@@ -328,7 +329,9 @@ def calibrate_register_stack_lean(
     frame chunk transiently, and the fused warp+combine Pallas kernel
     calibrates raw uint16 blocks on-chip (cal = raw*A - B - r*C with
     A=1/flat, B=bias/flat, C=dark_used/flat).  Frames may be uint16;
-    combine may be 'average', 'median', or 'sum'.
+    combine may be 'average', 'median', or 'sum'; ``flux_scales`` is
+    the swarp FSCALE behavior (see :func:`calibrate_register_stack`),
+    applied inside the kernel.
     """
     from ..ops.pallas_warp_combine import pallas_warp_combine
 
@@ -399,6 +402,7 @@ def calibrate_register_stack_lean(
     apron = config.fused_apron or h < 96 or w < 768
     stacked = pallas_warp_combine(
         frames, matrices, masters=masters, exp_ratios=exp_ratios,
+        flux_scales=flux_scales,
         span=config.warp_span, tile=config.fused_tile,
         sigma_lower=config.sigma_lower,
         sigma_upper=config.sigma_upper, apron=apron,

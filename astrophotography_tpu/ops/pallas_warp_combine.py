@@ -158,6 +158,7 @@ def _make_kernel(n, th, tw, span, h_in, w_in, vb, oy, ox,
         # assemble every row: a stale NaN row times a zero one-hot
         # weight still poisons the product.
         exp_r = mats_ref[f, 6]
+        flux_s = mats_ref[f, 7]
         for dy in range(vb):
             if align == "roll":
                 row_needed = (((dy + 1) * th > offy)
@@ -177,7 +178,8 @@ def _make_kernel(n, th, tw, span, h_in, w_in, vb, oy, ox,
                     mb = mblocks[dy * 3 + dx]
                     win_ref[dy * th:(dy + 1) * th,
                             dx * tw:(dx + 1) * tw] = \
-                        raw * mb[0] - mb[1] - exp_r * mb[2]  # A, B, C
+                        (raw * mb[0] - mb[1] - exp_r * mb[2]) \
+                        * flux_s  # A, B, C planes, then FSCALE
 
         m00 = mats_ref[f, 0]
         m01 = mats_ref[f, 1]
@@ -345,6 +347,7 @@ def pallas_warp_combine(
     matrices: jnp.ndarray,
     masters: "jnp.ndarray | None" = None,
     exp_ratios: "jnp.ndarray | None" = None,
+    flux_scales: "jnp.ndarray | None" = None,
     tile: "Tuple[int, int] | None" = None,
     span: int = 12,
     sigma_lower: float = 5.0,
@@ -363,7 +366,10 @@ def pallas_warp_combine(
     output->source affine maps with |translation| < one tile and
     stacking-scale rotations; ``masters`` (3, H, W): A=1/flat,
     B=bias/flat, C=dark/flat so cal = raw*A - B - exp_ratio*C;
-    ``exp_ratios`` (N,) light/dark exposure ratios (default 1).
+    ``exp_ratios`` (N,) light/dark exposure ratios (default 1);
+    ``flux_scales`` (N,) per-frame multipliers applied to the
+    calibrated values before combining — the swarp FSCALE-from-EXPOSURE
+    behavior (reference scripts/resample_all.sh:300-314).
     ``align`` is 'roll' (dynamic lane/sublane rotates) or 'onehot'
     (MXU selection matmuls — fallback for toolchains without dynamic
     rotate).  ``combine`` is 'average' (sigma-clipped mean), 'median'
@@ -375,7 +381,8 @@ def pallas_warp_combine(
     if _jax.default_backend() == "cpu" and not interpret:
         # Mosaic kernels need the interpreter on the CPU backend
         return pallas_warp_combine(cal, matrices, masters=masters,
-                                   exp_ratios=exp_ratios, tile=tile,
+                                   exp_ratios=exp_ratios,
+                                   flux_scales=flux_scales, tile=tile,
                                    span=span, sigma_lower=sigma_lower,
                                    sigma_upper=sigma_upper, apron=apron,
                                    align=align, combine=combine,
@@ -436,9 +443,11 @@ def pallas_warp_combine(
     mats6 = matrices.reshape(n, 6).astype(jnp.float32)
     if exp_ratios is None:
         exp_ratios = jnp.ones((n,), jnp.float32)
+    if flux_scales is None:
+        flux_scales = jnp.ones((n,), jnp.float32)
     mats = jnp.concatenate(
         [mats6, exp_ratios.reshape(n, 1).astype(jnp.float32),
-         jnp.zeros((n, 1), jnp.float32)], axis=1)  # (n, 8)
+         flux_scales.reshape(n, 1).astype(jnp.float32)], axis=1)  # (n, 8)
     byp, bxp = _tile_window_origins(mats6, n_ti, n_tj, th, tw, span,
                                     npi, npj, vb, 3, oy, ox)
 

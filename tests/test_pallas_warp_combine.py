@@ -115,6 +115,34 @@ def test_lean_pipeline_matches_standard():
     assert np.median(np.abs(a[both] - b[both])) < 1e-3
     assert np.percentile(np.abs(a[both] - b[both]), 99) < 0.1
 
+def test_lean_flux_scales_match_standard():
+    """swarp FSCALE in the lean path: in-kernel per-frame flux scaling
+    matches the standard pipeline's pre-warp multiply (reference
+    scripts/resample_all.sh:300-314)."""
+    from astrophotography_tpu.models import PipelineConfig
+    from astrophotography_tpu.models.pipeline import (
+        calibrate_register_stack, calibrate_register_stack_lean)
+    from tests.test_register_stack import _make_dithered_stack
+
+    frames, _t, _ = _make_dithered_stack(n_frames=4, shape=(192, 192),
+                                         seed=6)
+    bias = np.full((192, 192), 250.0, np.float32)
+    raw = np.clip(frames + bias, 0, 65535).astype(np.uint16)
+    scales = jnp.asarray([1.0, 2.0, 0.5, 1.5], jnp.float32)
+    cfg = PipelineConfig(max_stars=32, match_k=10, detect_mode="chunked",
+                         detect_chunk=2)
+    s_lean, _ = calibrate_register_stack_lean(
+        jnp.asarray(raw), bias=jnp.asarray(bias), flux_scales=scales,
+        config=cfg)
+    s_ref, _ = calibrate_register_stack(
+        jnp.asarray(raw), bias=jnp.asarray(bias), flux_scales=scales,
+        config=PipelineConfig(max_stars=32, match_k=10))
+    a, b = np.asarray(s_lean), np.asarray(s_ref)
+    both = (a != 0) & (b != 0)
+    assert np.median(np.abs(a[both] - b[both])) < 1e-2
+    assert np.percentile(np.abs(a[both] - b[both]), 99) < 0.5
+
+
 def test_fused_apron_free_interior_matches():
     """apron=False skips the padded stack copy; interior pixels (one
     tile + span away from every edge) must match the apron path."""
