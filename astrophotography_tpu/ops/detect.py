@@ -28,6 +28,8 @@ from __future__ import annotations
 import functools
 from typing import NamedTuple, Optional, Tuple
 
+import numpy as np
+
 import jax
 import jax.numpy as jnp
 
@@ -127,8 +129,6 @@ def _fast_density(data: jnp.ndarray, fwhm: float,
     join the footprint, and bf16 rounding — bounded by
     tests/test_detect.py::test_fast_mode_matches_exact_on_bright_stars.
     """
-    import numpy as np
-
     r = _kernel_radius(fwhm)
     sigma = fwhm * FWHM_TO_SIGMA
     d = np.arange(-r, r + 1, dtype=np.float32)

@@ -159,27 +159,27 @@ def _make_kernel(n, th, tw, span, h_in, w_in, vb, oy, ox,
         # weight still poisons the product.
         exp_r = mats_ref[f, 6]
         flux_s = mats_ref[f, 7]
+
+        def assemble_row(dy):
+            for dx in range(3):
+                raw_blk = blocks[dy * 3 + dx][0]
+                if raw_blk.dtype == jnp.uint16:
+                    # Mosaic lacks a direct u16->f32 cast
+                    raw = raw_blk.astype(jnp.int32).astype(jnp.float32)
+                else:
+                    raw = raw_blk.astype(jnp.float32)
+                mb = mblocks[dy * 3 + dx]
+                win_ref[dy * th:(dy + 1) * th, dx * tw:(dx + 1) * tw] = \
+                    (raw * mb[0] - mb[1] - exp_r * mb[2]) \
+                    * flux_s  # A, B, C planes, then FSCALE
+
         for dy in range(vb):
             if align == "roll":
                 row_needed = (((dy + 1) * th > offy)
                               & (dy * th < offy + th + span))
+                pl.when(row_needed)(functools.partial(assemble_row, dy))
             else:
-                row_needed = offy >= -(10 ** 9)  # always
-
-            @pl.when(row_needed)
-            def _(dy=dy):
-                for dx in range(3):
-                    raw_blk = blocks[dy * 3 + dx][0]
-                    if raw_blk.dtype == jnp.uint16:
-                        # Mosaic lacks a direct u16->f32 cast
-                        raw = raw_blk.astype(jnp.int32).astype(jnp.float32)
-                    else:
-                        raw = raw_blk.astype(jnp.float32)
-                    mb = mblocks[dy * 3 + dx]
-                    win_ref[dy * th:(dy + 1) * th,
-                            dx * tw:(dx + 1) * tw] = \
-                        (raw * mb[0] - mb[1] - exp_r * mb[2]) \
-                        * flux_s  # A, B, C planes, then FSCALE
+                assemble_row(dy)
 
         m00 = mats_ref[f, 0]
         m01 = mats_ref[f, 1]
