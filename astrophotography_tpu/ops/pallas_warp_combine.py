@@ -355,6 +355,7 @@ def pallas_warp_combine(
     apron: bool = True,
     align: str = "roll",
     combine: str = "average",
+    dither_budget: int = 64,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Warp every frame by its matrix and sigma-clip-combine, fused —
@@ -372,7 +373,11 @@ def pallas_warp_combine(
     behavior (reference scripts/resample_all.sh:300-314).
     ``align`` is 'roll' (dynamic lane/sublane rotates) or 'onehot'
     (MXU selection matmuls — fallback for toolchains without dynamic
-    rotate).  ``combine`` is 'average' (sigma-clipped mean), 'median'
+    rotate).  ``dither_budget`` is the guaranteed per-axis spread of
+    frame translations (px) the shared per-tile windows must absorb;
+    frames whose offsets exceed it are excluded per tile via coverage
+    rather than resampled from out-of-window data (raise it for
+    mosaic-scale offsets — it may demand taller tiles).  ``combine`` is 'average' (sigma-clipped mean), 'median'
     (plain masked median, swarp COMBINE_TYPE MEDIAN), or 'sum'
     (clip-rescaled sum).  Returns (H, W).
     """
@@ -434,11 +439,14 @@ def pallas_warp_combine(
         npj = n_tj
         oy, ox = 0, 0
     # vertical window: the dither-spread slack is vb*th - thp - (th-1);
-    # 3 blocks suffice when the tile is tall enough (>= 64 px slack),
-    # saving a quarter of the per-step raw DMA and 6 operands
+    # use the fewest blocks that absorb dither_budget (each extra block
+    # row costs a quarter of the per-step raw DMA and 3 operands)
     thp_est = -(-(th + span) // 8) * 8
-    slack3 = 3 * th - thp_est - (th - 1)  # dither budget with 3 blocks
-    vb = 3 if (slack3 >= 64 or npi < 4) else 4
+    vb = 3 if 3 * th - thp_est - (th - 1) >= dither_budget else 4
+    vb = min(vb, max(npi, 3))
+    # when even the largest window cannot absorb dither_budget (small
+    # tiles), frames beyond the slack degrade gracefully: base_ok
+    # excludes them per tile instead of resampling out-of-window data
 
     mats6 = matrices.reshape(n, 6).astype(jnp.float32)
     if exp_ratios is None:

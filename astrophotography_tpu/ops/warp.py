@@ -176,7 +176,13 @@ def warp_affine_separable(
     gy = m01 * inv_m11
     g0 = m02 - m01 * m12 * inv_m11
 
-    pad = span + 6
+    # left/top padding must absorb the largest negative source offset a
+    # covered output pixel can produce: |translation| up to a full
+    # output dimension plus the tap footprint (a tighter span+6 pad
+    # silently zeroed frames translated left/up by more than ~span px —
+    # their taps fell outside the clipped block while analytic coverage
+    # still reported them valid)
+    pad = w_out + span + 4
     if analytic_coverage:
         # coverage of an affine warp is analytic: a pixel is covered iff
         # its source coordinate keeps the full 6-tap footprint inside the
@@ -238,8 +244,9 @@ def warp_affine_separable(
     mid = mid[:, :h_in, :]
 
     # vertical pass: out[y, x] = mid[v(x, y), x]
+    pad_t = h_out + span + 4
     pad_b = band + span + 4
-    mid_p = jnp.pad(mid, ((0, 0), (pad, pad_b), (0, 0)))
+    mid_p = jnp.pad(mid, ((0, 0), (pad_t, pad_b), (0, 0)))
     n_bands2 = -(-h_out // band)
     ri_band = jnp.arange(band, dtype=jnp.int32)
 
@@ -248,9 +255,9 @@ def warp_affine_separable(
         rows = r0.astype(jnp.float32) + jnp.arange(band, dtype=jnp.float32)
         v = m10 * xs_out[None, :] + m11 * rows[:, None] + m12
         base = jnp.floor(jnp.min(v)).astype(jnp.int32) - 3
-        base = jnp.clip(base, -pad, h_in + 3)
+        base = jnp.clip(base, -pad_t, h_in + 3)
         block = jax.lax.dynamic_slice(
-            mid_p, (0, base + pad, 0), (nchan, band + span, w_out))
+            mid_p, (0, base + pad_t, 0), (nchan, band + span, w_out))
         return resample_terms(v - base.astype(jnp.float32), block,
                               band, axis=1, idx_along=ri_band[:, None])
 

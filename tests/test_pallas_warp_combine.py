@@ -167,6 +167,43 @@ def test_fused_apron_free_interior_matches():
     assert edge_dist.size == 0 or edge_dist.max() < m
 
 
+def test_large_dithers_degrade_gracefully_and_taller_tiles_recover():
+    """Frame offsets beyond the shared-window dither budget are
+    EXCLUDED per tile (zeros), never resampled from out-of-window data;
+    a taller tile (more slack) recovers full parity."""
+    rng = np.random.default_rng(9)
+    h, w = 192, 192
+    base = np.asarray(synth.make_rgb_scene((h, w), seed=9,
+                                           peak=5000)[..., 0], np.float32)
+    cal = np.stack([base + rng.normal(0, 3, (h, w)).astype(np.float32)
+                    for _ in range(4)])
+    mats = [[[1.0, 0.0, 0.0], [0.0, 1.0, 0.0]]]
+    for tx, ty in ((-28.0, 27.0), (25.0, -26.0), (27.0, 24.0)):
+        mats.append([[1.0, 0.0, tx], [0.0, 1.0, ty]])
+    cal = jnp.asarray(cal)
+    mats = jnp.asarray(np.asarray(mats, np.float32))
+    ref = _reference(cal, mats)
+
+    # small tile: ~49 px of window slack < the ~55 px dither spread;
+    # some (frame, tile) pairs drop out, so affected pixels average
+    # fewer frames — still a valid (finite, in-range) stack, never
+    # out-of-window garbage
+    small = np.asarray(pallas_warp_combine(cal, mats, tile=(32, 64),
+                                           interpret=True))
+    assert np.all(np.isfinite(small))
+    assert small.min() >= 0.0
+    assert small.max() <= float(np.asarray(cal).max()) * 1.5
+
+    # taller/wider tile: enough slack on both axes (vertical
+    # vb*th - thp - (th-1), horizontal tw - span + 1) -> exact parity
+    tall = np.asarray(pallas_warp_combine(cal, mats, tile=(64, 128),
+                                          interpret=True))
+    inner = ref != 0.0
+    np.testing.assert_allclose(tall[inner], ref[inner], rtol=1e-4,
+                               atol=0.5)
+    np.testing.assert_array_equal(tall == 0.0, ref == 0.0)
+
+
 def test_fused_apron_free_needs_three_blocks():
     cal, mats = _make_inputs(n=2, h=64, w=128, seed=1)
     with pytest.raises(ValueError):

@@ -100,3 +100,23 @@ def test_separable_coverage_borders():
     assert cov[10:-10, 5:40].min() > 0.99
     np.testing.assert_allclose(np.asarray(out)[10:-10, 5:40], 100.0,
                                rtol=1e-3)
+
+
+def test_separable_large_negative_translation():
+    """Translations left/up beyond the warp span must resample
+    correctly (regression: a span+6 source pad clipped the tap block,
+    zeroing frames translated by more than ~span px while analytic
+    coverage still reported them valid)."""
+    rng = np.random.default_rng(3)
+    img = (np.add.outer(np.linspace(100, 400, 96),
+                        np.linspace(0, 100, 96))
+           + rng.normal(0, 1, (96, 96))).astype(np.float32)
+    for tx, ty in ((-28.0, -27.0), (-40.0, 10.0), (15.0, -35.0)):
+        m = jnp.asarray([[1.0, 0.0, tx], [0.0, 1.0, ty]], jnp.float32)
+        out_g, cov_g = warp_affine_lanczos3(jnp.asarray(img), m, (96, 96))
+        out_s, cov_s = warp_affine_separable(jnp.asarray(img), m, (96, 96))
+        inner = np.asarray(cov_s) > 0.5
+        assert inner.sum() > 2000
+        np.testing.assert_allclose(np.asarray(out_s)[inner],
+                                   np.asarray(out_g)[inner],
+                                   rtol=1e-4, atol=0.5)
