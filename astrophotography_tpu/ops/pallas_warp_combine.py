@@ -117,9 +117,19 @@ def _tile_window_origins(mats6, n_ti, n_tj, th, tw, span,
             umin = cand if umin is None else jnp.minimum(umin, cand)
     vbase = jnp.floor(vmin).astype(jnp.int32) - 3
     ubase = jnp.floor(umin).astype(jnp.int32) - 3
-    byp = jnp.clip(jnp.floor_divide(jnp.min(vbase, axis=0), th) + oy,
+    # center the window on the MEDIAN frame's tap range rather than the
+    # min: one garbage matrix (a failed registration) would drag a
+    # min-based origin away and exclude every GOOD frame via base_ok;
+    # median-centering keeps the majority contained and lets the
+    # outlier be the one excluded
+    thp = -(-(th + span) // 8) * 8
+    margin_y = (vb * th - thp) // 2
+    margin_x = (hb * tw - (tw + span)) // 2
+    vmed = jnp.median(vbase, axis=0).astype(jnp.int32)
+    umed = jnp.median(ubase, axis=0).astype(jnp.int32)
+    byp = jnp.clip(jnp.floor_divide(vmed - margin_y, th) + oy,
                    0, npi - vb)
-    bxp = jnp.clip(jnp.floor_divide(jnp.min(ubase, axis=0), tw) + ox,
+    bxp = jnp.clip(jnp.floor_divide(umed - margin_x, tw) + ox,
                    0, npj - hb)
     return byp.astype(jnp.int32), bxp.astype(jnp.int32)
 

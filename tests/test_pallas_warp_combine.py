@@ -204,6 +204,20 @@ def test_large_dithers_degrade_gracefully_and_taller_tiles_recover():
     np.testing.assert_array_equal(tall == 0.0, ref == 0.0)
 
 
+def test_garbage_matrix_does_not_poison_good_frames():
+    """A failed registration (wild matrix) must only lose ITS frame:
+    the shared per-tile window centers on the median frame base, so the
+    remaining frames still stack with exact parity."""
+    cal, mats = _make_inputs(n=5, h=96, w=256, seed=15)
+    mats_bad = np.asarray(mats).copy()
+    mats_bad[4] = [[1.0, 0.0, 5000.0], [0.0, 1.0, -7000.0]]  # nonsense
+    ref = _reference(cal[:4], mats[:4])
+    got = np.asarray(pallas_warp_combine(cal, jnp.asarray(mats_bad),
+                                         tile=(32, 64), interpret=True))
+    inner = ref != 0.0
+    np.testing.assert_allclose(got[inner], ref[inner], rtol=1e-4, atol=0.5)
+
+
 def test_fused_apron_free_needs_three_blocks():
     cal, mats = _make_inputs(n=2, h=64, w=128, seed=1)
     with pytest.raises(ValueError):
