@@ -280,6 +280,17 @@ def reduce_all(
                     f"in {dt:.2f} s on device")
                 write_image(stack_path, stacked, out_hdr)
                 rms = np.asarray(diag["rms"])
+                inl = np.asarray(diag["n_inliers"])
+                bad = [os.path.basename(cal_paths[i][1].path)
+                       for i in range(len(inl))
+                       if inl[i] < 4 and i != int(diag.get(
+                           "ref_frame", 0))]
+                if bad:
+                    logger.warning(
+                        f"{len(bad)} frame(s) registered with < 4 "
+                        f"inliers and contribute little or nothing to "
+                        f"{os.path.basename(stack_path)}: {bad} — check "
+                        "their quality reports")
                 logger.info(
                     f"Stacked {len(frames)} frames -> {stack_path} "
                     f"(reg rms median {np.median(rms[1:]) if len(rms) > 1 else 0:.3f} px, "

@@ -192,3 +192,40 @@ def test_ap_measure_background_odd_geometry(tmp_path):
     assert np.median(err) < 3.0
     sub_img, _ = read_image(sub)
     assert abs(np.median(sub_img[far])) < 3.0
+
+
+def test_ap_stack_cli(tmp_path):
+    """ap_stack: the standalone register+stack tool (the reference's
+    swarp resample+combine role, scripts/resample_all.sh:62-79)."""
+    import jax.numpy as jnp
+    from astrophotography_tpu import synth
+    from astrophotography_tpu.cli.ap_stack import main as ap_stack
+
+    rng = np.random.default_rng(60)
+    img, _ = synth.make_starfield((128, 128), n_stars=8, fwhm=3.0,
+                                  background=120.0, read_noise=4.0,
+                                  flux_range=(20000.0, 50000.0), seed=60,
+                                  min_sep=14.0)
+    paths = []
+    for i in range(4):
+        dx, dy = (0, 0) if i == 0 else rng.integers(-3, 4, 2)
+        fr = (np.roll(np.roll(img, dy, 0), dx, 1)
+              + rng.normal(0, 3, img.shape)).astype(np.float32)
+        # frame 2 at double exposure: FSCALE must normalize it
+        if i == 2:
+            fr = fr * 2.0
+        hdr = Header()
+        hdr["EXPTIME"] = 120.0 if i == 2 else 60.0
+        p = str(tmp_path / f"cal-{i}.fits")
+        write_image(p, fr, hdr)
+        paths.append(p)
+    out = str(tmp_path / "stack.fits")
+    rc = ap_stack(paths + ["-o", out, "--engine", "fused", "-l", "ERROR"])
+    assert rc == 0
+    s, hdr = read_image(out)
+    assert hdr["IMAGETYP"] == "STACK"
+    assert hdr["NSTACK"] == 4
+    assert hdr["EXPTOTAL"] == 300.0
+    # FSCALE normalized the double-exposure frame: background stays ~120
+    inner = s[30:-30, 30:-30]
+    assert abs(np.median(inner) - 120.0) < 6.0
