@@ -189,16 +189,35 @@ def estimate_similarity(
         dst = jnp.stack([jnp.take(tx_, nn), jnp.take(ty_, nn)], axis=1)
         scale, theta, tx1, ty1 = solve_similarity(src, dst, wgt)
         return (scale * jnp.cos(theta), scale * jnp.sin(theta), tx1, ty1), \
-            (wgt, nn_d2)
+            (wgt, nn_d2, nn)
 
-    (c_f, s_f, tx_f, ty_f), (wgts, dists) = jax.lax.scan(
+    (c_f, s_f, tx_f, ty_f), (wgts, dists, nns) = jax.lax.scan(
         refine, (c_b, s_b, tx_b, ty_b), None, length=refine_iters)
     last_w = wgts[-1]
     last_d2 = dists[-1]
-    n_in = jnp.sum(last_w)
+    last_nn = nns[-1]
+    # count DISTINCT matched target stars: a degenerate collapsing
+    # transform can drag many ref stars within tolerance of ONE target
+    # (e.g. a single-star frame), which would otherwise masquerade as a
+    # well-supported solution
+    n_in = jnp.sum(jnp.zeros((k,), jnp.float32).at[last_nn].max(last_w))
     rms = jnp.sqrt(jnp.sum(jnp.where(last_w > 0, last_d2, 0.0))
                    / jnp.maximum(n_in, 1.0))
     scale_f = jnp.sqrt(c_f * c_f + s_f * s_f)
     theta_f = jnp.arctan2(s_f, c_f)
-    return Similarity(scale=scale_f, theta=theta_f, tx=tx_f, ty=ty_f,
-                      n_inliers=n_in.astype(jnp.int32), rms=rms)
+    # a similarity needs >= 2 inliers; below that the LSQ collapses to
+    # a degenerate (e.g. scale-0) transform that maps everything to one
+    # IN-RANGE source point — downstream coverage tests would then
+    # accept a garbage constant frame into the stack.  Return a
+    # unit-scale transform translated far outside any frame instead:
+    # coverage then excludes the frame everywhere (the reference's bash
+    # flow likewise drops frames whose solve fails), and callers can
+    # diagnose via n_inliers.
+    ok = (n_in >= 2) & (jnp.abs(scale_f - 1.0) < 3.0 * scale_tol)
+    far = jnp.float32(1e9)
+    return Similarity(
+        scale=jnp.where(ok, scale_f, 1.0),
+        theta=jnp.where(ok, theta_f, 0.0),
+        tx=jnp.where(ok, tx_f, far),
+        ty=jnp.where(ok, ty_f, far),
+        n_inliers=n_in.astype(jnp.int32), rms=rms)

@@ -93,3 +93,46 @@ def test_sharded_calibrate_batch(devices):
     np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-6)
     # output keeps the frame sharding (no resharding inserted)
     assert len(out.sharding.device_set) == 8
+
+
+def test_sharded_standard_pipeline_matches_single_device(devices):
+    """The full standard pipeline jitted under a (frame, space) mesh
+    with frame-sharded inputs matches the unsharded result — XLA
+    inserts the cross-frame collectives for the combine (SURVEY §2.6)."""
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from astrophotography_tpu.models import (PipelineConfig,
+                                             calibrate_register_stack)
+    from astrophotography_tpu import synth
+
+    rng = np.random.default_rng(17)
+    img, _ = synth.make_starfield((256, 256), n_stars=10, fwhm=3.0,
+                                  background=150.0, read_noise=4.0,
+                                  flux_range=(20000.0, 60000.0), seed=17,
+                                  min_sep=18.0)
+    frames = np.stack([
+        np.roll(np.roll(img, int(rng.integers(-3, 4)), 0),
+                int(rng.integers(-3, 4)), 1)
+        + rng.normal(0, 3, img.shape) for _ in range(8)
+    ]).astype(np.float32)
+    cfg = PipelineConfig(max_stars=16, match_k=8)
+
+    ref, ref_diag = calibrate_register_stack(jnp.asarray(frames), config=cfg)
+    ref = np.asarray(ref)
+
+    mesh = frame_space_mesh(n_frame=4, n_space=2, devices=devices[:8])
+    with mesh:
+        sharded = jax.device_put(
+            frames, NamedSharding(mesh, P("frame", None, None)))
+
+        def step(fr):
+            stacked, diag = calibrate_register_stack(fr, config=cfg)
+            stacked = jax.lax.with_sharding_constraint(
+                stacked, NamedSharding(mesh, P("space", None)))
+            return stacked, diag["n_inliers"]
+
+        got, inl = jax.jit(step)(sharded)
+    got = np.asarray(got)
+    assert len(got.shape) == 2
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-2)
+    assert np.asarray(inl).min() >= 6

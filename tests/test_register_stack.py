@@ -8,6 +8,7 @@ from astrophotography_tpu.models import PipelineConfig, calibrate_register_stack
 from astrophotography_tpu.ops.register import Similarity, estimate_similarity, solve_similarity
 from astrophotography_tpu.ops.warp import warp_affine_bilinear, warp_affine_lanczos3
 
+import jax
 import jax.numpy as jnp
 
 
@@ -213,3 +214,27 @@ def test_pipeline_with_calibration_masters():
     stacked_ref, _ = calibrate_register_stack(jnp.asarray(frames), config=cfg)
     np.testing.assert_allclose(np.asarray(stacked_cal),
                                np.asarray(stacked_ref), atol=1e-2)
+
+
+def test_degenerate_registration_excludes_frame():
+    """A frame whose registration finds < 2 inliers (e.g. one star)
+    must come back as a far-translated unit transform — coverage then
+    excludes it — never as a degenerate scale-0 matrix that maps the
+    whole output to one in-range source point."""
+    x = np.array([30.0] + [0.0] * 15, np.float32)
+    y = np.array([40.0] + [0.0] * 15, np.float32)
+    f = np.array([5000.0] + [0.0] * 15, np.float32)
+    v = np.array([True] + [False] * 15)
+    sim = estimate_similarity(
+        jnp.asarray(x), jnp.asarray(y), jnp.asarray(f), jnp.asarray(v),
+        jnp.asarray(x + 2.0), jnp.asarray(y), jnp.asarray(f),
+        jnp.asarray(v), k=10)
+    assert int(sim.n_inliers) < 2
+    assert float(sim.scale) == 1.0
+    assert abs(float(sim.tx)) > 1e6
+    # the sentinel transform covers nothing
+    from astrophotography_tpu.ops.warp import warp_affine_separable
+    img = np.full((64, 64), 100.0, np.float32)
+    out, cov = warp_affine_separable(jnp.asarray(img), sim.matrix(),
+                                     (64, 64))
+    assert float(jnp.max(cov)) == 0.0
