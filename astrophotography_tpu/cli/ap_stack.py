@@ -12,6 +12,7 @@ FSCALE-from-EXPOSURE, resample_all.sh:300-314).
 from __future__ import annotations
 
 import argparse
+import functools
 import os
 import time
 from typing import List, Optional
@@ -48,8 +49,88 @@ def parse(argv: Optional[List[str]]) -> argparse.Namespace:
     p.add_argument("--search_nsigma", type=float, default=7.0)
     p.add_argument("--no-fscale", action="store_true",
                    help="do not scale mixed exposures by EXPTIME")
+    p.add_argument("--canvas", default="first", choices=("first", "union"),
+                   help="output grid: 'first' = the reference frame's "
+                        "pixel grid; 'union' = a canvas covering every "
+                        "registered frame (the swarp mosaic behavior)")
     add_loglevel(p)
     return p.parse_args(argv)
+
+
+def _stack_union_canvas(stack, scales, cfg):
+    """Mosaic-style stacking: output grid = union of every registered
+    frame (reference swarp's common output grid, resample_all.sh).
+
+    TPU-first shape handling: the data-dependent canvas geometry is
+    resolved on the HOST between two static-shape device passes —
+    (1) jitted detection+registration, (2) host corner math on the
+    (N, 2, 3) matrices, (3) jitted warp+combine at the static padded
+    canvas shape (dynamic shapes never reach XLA)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..models.pipeline import register_frames
+    from ..ops.stack import sigma_clip_combine
+    from ..ops.warp import warp_affine_separable
+
+    n, h, w = stack.shape
+    cal = jnp.asarray(stack)
+    if scales is not None:
+        cal = cal * scales[:, None, None]
+    stars, sims, matrices, ref_idx = register_frames(cal, config=cfg)
+    mats = np.asarray(matrices)          # (n, 2, 3): ref -> frame coords
+    inl = np.asarray(sims.n_inliers)
+
+    # host canvas math: map each registered frame's corners INTO the
+    # reference grid (inverse transform) and take the union box
+    corners = np.array([[0, 0], [w - 1, 0], [0, h - 1], [w - 1, h - 1]],
+                       np.float64)
+    lo = np.array([0.0, 0.0])
+    hi = np.array([float(w - 1), float(h - 1)])
+    for i in range(n):
+        if inl[i] < 4 and i != int(ref_idx):
+            continue   # unregistered frames are excluded anyway
+        A = mats[i, :, :2]
+        t = mats[i, :, 2]
+        inv = np.linalg.inv(A)
+        pts = (corners - t[None, :]) @ inv.T
+        lo = np.minimum(lo, pts.min(axis=0))
+        hi = np.maximum(hi, pts.max(axis=0))
+    x0 = int(np.floor(lo[0])) - 4
+    y0 = int(np.floor(lo[1])) - 4
+    wc = int(np.ceil(hi[0])) + 5 - x0
+    hc = int(np.ceil(hi[1])) + 5 - y0
+    wc = -(-wc // 16) * 16   # static-friendly canvas quantum
+    hc = -(-hc // 16) * 16
+    # canvas pixel (xc, yc) = reference pixel (xc + x0, yc + y0):
+    # fold the origin shift into each matrix
+    shift = np.stack([mats[:, 0, 0] * x0 + mats[:, 0, 1] * y0,
+                      mats[:, 1, 0] * x0 + mats[:, 1, 1] * y0], axis=1)
+    mats_c = mats.copy()
+    mats_c[:, :, 2] += shift
+
+    @functools.partial(jax.jit, static_argnames=("hc", "wc", "combine"))
+    def warp_combine(cal, mats_c, hc, wc, combine):
+        warped, covers = jax.vmap(
+            lambda f, m: warp_affine_separable(
+                f, m, (hc, wc), span=cfg.warp_span,
+                analytic_coverage=True))(cal, mats_c)
+        out = sigma_clip_combine(warped, mask=covers > 0.5,
+                                 sigma_lower=cfg.sigma_lower,
+                                 sigma_upper=cfg.sigma_upper,
+                                 method=combine)
+        return jnp.where(jnp.isnan(out), 0.0, out)
+
+    stacked = warp_combine(cal, jnp.asarray(mats_c, jnp.float32),
+                           hc, wc, cfg.combine)
+    diag = {"scale": sims.scale, "theta": sims.theta, "tx": sims.tx,
+            "ty": sims.ty, "n_inliers": sims.n_inliers, "rms": sims.rms,
+            "n_stars": jnp.sum(stars.valid, axis=1),
+            "ref_frame": ref_idx,
+            "canvas_origin": (y0, x0)}
+    logger.info(f"Union canvas {hc}x{wc} px, origin ({y0}, {x0}) in the "
+                f"reference frame's grid")
+    return stacked, diag
 
 
 def run(ns: argparse.Namespace) -> None:
@@ -87,8 +168,11 @@ def run(ns: argparse.Namespace) -> None:
         sigma_lower=ns.sigma, sigma_upper=ns.sigma,
         combine=ns.combine, combine_impl=ns.engine, ref_frame=ref_frame)
     t0 = time.perf_counter()
-    stacked, diag = calibrate_register_stack(
-        jnp.asarray(stack), flux_scales=scales, config=cfg)
+    if ns.canvas == "union":
+        stacked, diag = _stack_union_canvas(stack, scales, cfg)
+    else:
+        stacked, diag = calibrate_register_stack(
+            jnp.asarray(stack), flux_scales=scales, config=cfg)
     stacked = np.asarray(stacked)
     dt = time.perf_counter() - t0
 
@@ -103,6 +187,12 @@ def run(ns: argparse.Namespace) -> None:
     out_hdr = hdr0.copy() if hdr0 else Header()
     out_hdr["IMAGETYP"] = ("STACK", "Registered stacked image")
     out_hdr["NSTACK"] = (len(frames), "Number of frames in stack")
+    if "canvas_origin" in diag:
+        cy0, cx0 = diag["canvas_origin"]
+        out_hdr["CANVASY0"] = (int(cy0), "Canvas row 0 in reference"
+                                        " frame coords")
+        out_hdr["CANVASX0"] = (int(cx0), "Canvas col 0 in reference"
+                                        " frame coords")
     if exps[0]:
         out_hdr["EXPTOTAL"] = (float(np.sum(exps)),
                                "[s] Total stacked exposure")

@@ -127,6 +127,71 @@ def _ref_index(stars, config: PipelineConfig):
 
 
 @functools.partial(jax.jit, static_argnames=("config",))
+def register_frames(
+    cal: jnp.ndarray,
+    config: PipelineConfig = PipelineConfig(),
+):
+    """Detect stars and solve all frame->reference similarities for an
+    (N, H, W) CALIBRATED stack — the registration half of the fused
+    pipeline, reusable standalone (e.g. for union-canvas/mosaic
+    stacking where the output geometry is computed on the host between
+    the registration and stacking passes).
+
+    Returns (stars, sims, matrices (N, 2, 3), ref_idx)."""
+    n = cal.shape[0]
+    center, std = frame_noise_stats(cal)
+
+    def detect(frame, c, s):
+        return find_stars(frame - c, fwhm=config.fwhm,
+                          threshold=config.detect_nsigma * s,
+                          max_stars=config.max_stars,
+                          topk_mode=config.detect_topk,
+                          mode="fast" if config.detect_fast else "exact",
+                          stats=False,  # registration needs x/y/flux only
+                          bin_rows=config.detect_bin_rows)
+
+    if config.detect_mode == "chunked" and n > config.detect_chunk:
+        c = config.detect_chunk
+        if n % c:
+            raise ValueError(f"frame count {n} not divisible by "
+                             f"detect_chunk {c}")
+        parts = []
+        token = jnp.float32(0.0)
+        for k in range(0, n, c):
+            chunk, _tok = jax.lax.optimization_barrier(
+                (cal[k:k + c], token))
+            part = jax.vmap(detect)(chunk, center[k:k + c], std[k:k + c])
+            token = jax.lax.optimization_barrier(part.x[0, 0])
+            parts.append(part)
+        stars = jax.tree_util.tree_map(
+            lambda *xs: jnp.concatenate(xs, axis=0), *parts)
+    else:
+        stars = jax.vmap(detect)(cal, center, std)
+
+    ref_idx = _ref_index(stars, config)
+    ref = jax.tree_util.tree_map(lambda a: a[ref_idx], stars)
+
+    def est(i):
+        tgt = jax.tree_util.tree_map(lambda a: a[i], stars)
+        return estimate_similarity(
+            ref.x, ref.y, ref.flux, ref.valid,
+            tgt.x, tgt.y, tgt.flux, tgt.valid,
+            k=config.match_k)
+
+    sims = jax.vmap(est)(jnp.arange(n))
+    ident = Similarity(
+        scale=jnp.ones(()), theta=jnp.zeros(()), tx=jnp.zeros(()),
+        ty=jnp.zeros(()), n_inliers=jnp.int32(config.max_stars),
+        rms=jnp.zeros(()))
+    sims = jax.tree_util.tree_map(
+        lambda all_v, id_v: all_v.at[ref_idx].set(id_v), sims,
+        jax.tree_util.tree_map(lambda x: jnp.asarray(x), ident))
+    matrices = jax.vmap(lambda i: jax.tree_util.tree_map(
+        lambda a: a[i], sims).matrix())(jnp.arange(n))
+    return stars, sims, matrices, ref_idx
+
+
+@functools.partial(jax.jit, static_argnames=("config",))
 def calibrate_register_stack(
     frames: jnp.ndarray,
     bias: Optional[jnp.ndarray] = None,
@@ -156,65 +221,7 @@ def calibrate_register_stack(
     if flux_scales is not None:
         cal = cal * flux_scales.astype(jnp.float32)[:, None, None]
 
-    center, std = frame_noise_stats(cal)
-
-    def detect(frame, c, s):
-        return find_stars(frame - c, fwhm=config.fwhm,
-                          threshold=config.detect_nsigma * s,
-                          max_stars=config.max_stars,
-                          topk_mode=config.detect_topk,
-                          mode="fast" if config.detect_fast else "exact",
-                          stats=False,  # registration needs x/y/flux only
-                          bin_rows=config.detect_bin_rows)
-
-    if config.detect_mode == "chunked" and n > config.detect_chunk:
-        # Python-unrolled chunks: unlike lax.map (which costs ~100 ms of
-        # dispatch per iteration through this environment), unrolled
-        # chunks stay one XLA program while letting liveness analysis
-        # free each chunk's density stack before the next
-        c = config.detect_chunk
-        if n % c:
-            raise ValueError(f"frame count {n} not divisible by "
-                             f"detect_chunk {c}")
-        # thread a token between chunks: without a data dependence the
-        # XLA scheduler interleaves all chunks and their buffers stay
-        # live simultaneously, defeating the memory bound
-        parts = []
-        token = jnp.float32(0.0)
-        for k in range(0, n, c):
-            chunk, _tok = jax.lax.optimization_barrier(
-                (cal[k:k + c], token))
-            part = jax.vmap(detect)(chunk, center[k:k + c], std[k:k + c])
-            # the raw value (not multiplied by zero, which XLA folds)
-            token = jax.lax.optimization_barrier(part.x[0, 0])
-            parts.append(part)
-        stars = jax.tree_util.tree_map(
-            lambda *xs: jnp.concatenate(xs, axis=0), *parts)
-    else:
-        stars = jax.vmap(detect)(cal, center, std)
-
-    ref_idx = _ref_index(stars, config)
-    ref = jax.tree_util.tree_map(lambda a: a[ref_idx], stars)
-
-    def est(i):
-        tgt = jax.tree_util.tree_map(lambda a: a[i], stars)
-        return estimate_similarity(
-            ref.x, ref.y, ref.flux, ref.valid,
-            tgt.x, tgt.y, tgt.flux, tgt.valid,
-            k=config.match_k)
-
-    sims = jax.vmap(est)(jnp.arange(n))
-    # the reference frame must map with the identity; overwrite exactly
-    ident = Similarity(
-        scale=jnp.ones(()), theta=jnp.zeros(()), tx=jnp.zeros(()),
-        ty=jnp.zeros(()), n_inliers=jnp.int32(config.max_stars),
-        rms=jnp.zeros(()))
-    sims = jax.tree_util.tree_map(
-        lambda all_v, id_v: all_v.at[ref_idx].set(id_v), sims,
-        jax.tree_util.tree_map(lambda x: jnp.asarray(x), ident))
-
-    matrices = jax.vmap(lambda i: jax.tree_util.tree_map(
-        lambda a: a[i], sims).matrix())(jnp.arange(n))
+    stars, sims, matrices, ref_idx = register_frames(cal, config=config)
 
     if config.combine_impl == "fused":
         # single mega-kernel: per-tile on-chip warp of every frame +

@@ -229,3 +229,49 @@ def test_ap_stack_cli(tmp_path):
     # FSCALE normalized the double-exposure frame: background stays ~120
     inner = s[30:-30, 30:-30]
     assert abs(np.median(inner) - 120.0) < 6.0
+
+
+def test_ap_stack_union_canvas(tmp_path):
+    """--canvas union builds an output grid covering every registered
+    frame (the swarp mosaic behavior): frames dithered by +-40 px all
+    land fully inside the canvas with their mutual overlap stacked."""
+    from astrophotography_tpu import synth
+    from astrophotography_tpu.cli.ap_stack import main as ap_stack
+
+    rng = np.random.default_rng(61)
+    h, w = 160, 160
+    img, truth = synth.make_starfield((h, w), n_stars=12, fwhm=3.0,
+                                      background=100.0, read_noise=4.0,
+                                      flux_range=(20000.0, 50000.0),
+                                      seed=61, min_sep=13.0)
+    paths = []
+    offs = [(0, 0), (40, 0), (-40, 35)]
+    for i, (dx, dy) in enumerate(offs):
+        fr = (np.roll(np.roll(img, dy, 0), dx, 1)
+              + rng.normal(0, 3, img.shape)).astype(np.float32)
+        hdr = Header()
+        hdr["EXPTIME"] = 60.0
+        p = str(tmp_path / f"m-{i}.fits")
+        write_image(p, fr, hdr)
+        paths.append(p)
+    out = str(tmp_path / "mosaic.fits")
+    rc = ap_stack(paths + ["-o", out, "--canvas", "union", "-l", "ERROR"])
+    assert rc == 0
+    s, hdr = read_image(out)
+    # canvas spans the union: at least frame + 75 px in x, + 35 in y
+    assert s.shape[1] >= w + 75 and s.shape[0] >= h + 30
+    assert "CANVASY0" in hdr and "CANVASX0" in hdr
+    # covered region is background-level, uncovered is exactly zero
+    covered = s != 0.0
+    assert covered.mean() > 0.5
+    assert abs(np.median(s[covered]) - 100.0) < 5.0
+    # reference stars appear at (x - CANVASX0, y - CANVASY0)
+    from astrophotography_tpu.ops import find_stars, sigma_clipped_stats
+    _, med, std = (float(v) for v in sigma_clipped_stats(s, sigma=3.0))
+    det = find_stars(s - med, fwhm=3.0, threshold=7.0 * std, max_stars=64)
+    v = np.asarray(det.valid)
+    dx_, dy_ = np.asarray(det.x)[v], np.asarray(det.y)[v]
+    x0, y0 = hdr["CANVASX0"], hdr["CANVASY0"]
+    matched = sum(1 for x, y in zip(truth["x"], truth["y"])
+                  if np.hypot(dx_ - (x - x0), dy_ - (y - y0)).min() < 1.0)
+    assert matched >= len(truth["x"]) - 1
