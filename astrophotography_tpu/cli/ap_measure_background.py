@@ -54,10 +54,12 @@ def parse(argv: Optional[List[str]]) -> argparse.Namespace:
 def effective_grid(h: int, w: int, nbg_rows: int, nbg_cols: int,
                    min_bgheight: int = 48, min_bgwidth: int = 48):
     """Box-grid fixups with the reference's _set_bgbox_size semantics
-    (core/ApMeasureBackground.py:255-330): the box edge is the image
-    split into the requested grid, rounded up to a quantum of 2 and
-    clamped to the minimum box size; the grid then covers the image with
-    ceil(image/box) boxes (photutils Background2D edge_method='pad').
+    (core/ApMeasureBackground.py:255-330): the box edge is
+    quantum*(1 + image // (quantum*grid)) — the reference's literal
+    floor-plus-one-quantum formula, which perturbs even exactly
+    divisible geometries by one quantum — clamped to the minimum box
+    size; the grid then covers the image with ceil(image/box) boxes
+    (photutils Background2D edge_method='pad').
     Returns (n_rows, n_cols, box_h, box_w)."""
     q = 2
     box_h = max(min_bgheight, q * (1 + h // (q * max(nbg_rows, 1))))

@@ -142,7 +142,7 @@ def run(ns: argparse.Namespace) -> None:
         raise ValueError("ap_stack needs at least 2 input frames")
     frames = []
     exps = []
-    hdr0 = None
+    hdrs = []
     for path in ns.inputs:
         data, hdr = read_image(path)
         if frames and data.shape != frames[0].shape:
@@ -151,8 +151,7 @@ def run(ns: argparse.Namespace) -> None:
                 f"{frames[0].shape}")
         frames.append(data)
         exps.append(float(hdr.get("EXPTIME", 0.0) or 0.0))
-        if hdr0 is None:
-            hdr0 = hdr
+        hdrs.append(hdr)
     stack = np.stack(frames)
     if ns.no_fscale or not exps[0]:
         scales = None
@@ -169,6 +168,11 @@ def run(ns: argparse.Namespace) -> None:
         combine=ns.combine, combine_impl=ns.engine, ref_frame=ref_frame)
     t0 = time.perf_counter()
     if ns.canvas == "union":
+        if ns.engine != "xla":
+            logger.warning(
+                f"--canvas union always uses the XLA warp+combine; "
+                f"--engine {ns.engine} is ignored (the union path "
+                "materializes the warped stack)")
         stacked, diag = _stack_union_canvas(stack, scales, cfg)
     else:
         stacked, diag = calibrate_register_stack(
@@ -184,7 +188,10 @@ def run(ns: argparse.Namespace) -> None:
         logger.warning(f"{len(bad)} frame(s) registered with < 4 inliers "
                        f"and contribute little or nothing: {bad}")
 
-    out_hdr = hdr0.copy() if hdr0 else Header()
+    # the output grid is the REFERENCE frame's pixel grid (shifted by
+    # the canvas origin in union mode), so inherit ITS header — an
+    # inherited WCS then describes the output correctly
+    out_hdr = hdrs[ref_idx].copy() if hdrs else Header()
     out_hdr["IMAGETYP"] = ("STACK", "Registered stacked image")
     out_hdr["NSTACK"] = (len(frames), "Number of frames in stack")
     if "canvas_origin" in diag:
@@ -193,6 +200,13 @@ def run(ns: argparse.Namespace) -> None:
                                         " frame coords")
         out_hdr["CANVASX0"] = (int(cx0), "Canvas col 0 in reference"
                                         " frame coords")
+        # keep an inherited WCS valid on the shifted grid:
+        # x_canvas = x_ref - x0  =>  CRPIX += -origin
+        if "CRPIX1" in out_hdr and "CRPIX2" in out_hdr:
+            out_hdr["CRPIX1"] = float(out_hdr["CRPIX1"]) - float(cx0)
+            out_hdr["CRPIX2"] = float(out_hdr["CRPIX2"]) - float(cy0)
+            out_hdr.add_history(
+                f"CRPIX shifted by ({-cx0}, {-cy0}) for the union canvas")
     if exps[0]:
         out_hdr["EXPTOTAL"] = (float(np.sum(exps)),
                                "[s] Total stacked exposure")

@@ -280,6 +280,8 @@ def reduce_all(
                     f"in {dt:.2f} s on device")
                 write_image(stack_path, stacked, out_hdr)
                 rms = np.asarray(diag["rms"])
+                ref_i = int(diag.get("ref_frame", 0))
+                rms_others = np.delete(rms, ref_i) if len(rms) > 1 else rms
                 inl = np.asarray(diag["n_inliers"])
                 bad = [os.path.basename(cal_paths[i][1].path)
                        for i in range(len(inl))
@@ -293,7 +295,7 @@ def reduce_all(
                         "their quality reports")
                 logger.info(
                     f"Stacked {len(frames)} frames -> {stack_path} "
-                    f"(reg rms median {np.median(rms[1:]) if len(rms) > 1 else 0:.3f} px, "
+                    f"(reg rms median {np.median(rms_others):.3f} px, "
                     f"{dt:.2f} s)")
             produced["stacks"].append(stack_path)
 

@@ -126,6 +126,33 @@ def _ref_index(stars, config: PipelineConfig):
     return jnp.int32(config.ref_frame)
 
 
+
+def _solve_frame_similarities(stars, n: int, config: PipelineConfig):
+    """Reference-frame choice + per-frame similarity solves + exact
+    identity overwrite for the chosen reference — the post-detection
+    half shared by every pipeline variant."""
+    idx_ref = _ref_index(stars, config)
+    ref = jax.tree_util.tree_map(lambda a: a[idx_ref], stars)
+
+    def est(i):
+        tgt = jax.tree_util.tree_map(lambda a: a[i], stars)
+        return estimate_similarity(
+            ref.x, ref.y, ref.flux, ref.valid,
+            tgt.x, tgt.y, tgt.flux, tgt.valid, k=config.match_k)
+
+    sims = jax.vmap(est)(jnp.arange(n))
+    ident = Similarity(
+        scale=jnp.ones(()), theta=jnp.zeros(()), tx=jnp.zeros(()),
+        ty=jnp.zeros(()), n_inliers=jnp.int32(config.max_stars),
+        rms=jnp.zeros(()))
+    sims = jax.tree_util.tree_map(
+        lambda all_v, id_v: all_v.at[idx_ref].set(id_v), sims,
+        jax.tree_util.tree_map(lambda x: jnp.asarray(x), ident))
+    matrices = jax.vmap(lambda i: jax.tree_util.tree_map(
+        lambda a: a[i], sims).matrix())(jnp.arange(n))
+    return sims, matrices, idx_ref
+
+
 @functools.partial(jax.jit, static_argnames=("config",))
 def register_frames(
     cal: jnp.ndarray,
@@ -168,26 +195,7 @@ def register_frames(
     else:
         stars = jax.vmap(detect)(cal, center, std)
 
-    ref_idx = _ref_index(stars, config)
-    ref = jax.tree_util.tree_map(lambda a: a[ref_idx], stars)
-
-    def est(i):
-        tgt = jax.tree_util.tree_map(lambda a: a[i], stars)
-        return estimate_similarity(
-            ref.x, ref.y, ref.flux, ref.valid,
-            tgt.x, tgt.y, tgt.flux, tgt.valid,
-            k=config.match_k)
-
-    sims = jax.vmap(est)(jnp.arange(n))
-    ident = Similarity(
-        scale=jnp.ones(()), theta=jnp.zeros(()), tx=jnp.zeros(()),
-        ty=jnp.zeros(()), n_inliers=jnp.int32(config.max_stars),
-        rms=jnp.zeros(()))
-    sims = jax.tree_util.tree_map(
-        lambda all_v, id_v: all_v.at[ref_idx].set(id_v), sims,
-        jax.tree_util.tree_map(lambda x: jnp.asarray(x), ident))
-    matrices = jax.vmap(lambda i: jax.tree_util.tree_map(
-        lambda a: a[i], sims).matrix())(jnp.arange(n))
+    sims, matrices, ref_idx = _solve_frame_similarities(stars, n, config)
     return stars, sims, matrices, ref_idx
 
 
@@ -376,25 +384,7 @@ def calibrate_register_stack_lean(
     stars = jax.tree_util.tree_map(
         lambda *xs: jnp.concatenate(xs, axis=0), *parts)
 
-    ref_idx = _ref_index(stars, config)
-    ref = jax.tree_util.tree_map(lambda a: a[ref_idx], stars)
-
-    def est(i):
-        tgt = jax.tree_util.tree_map(lambda a: a[i], stars)
-        return estimate_similarity(
-            ref.x, ref.y, ref.flux, ref.valid,
-            tgt.x, tgt.y, tgt.flux, tgt.valid, k=config.match_k)
-
-    sims = jax.vmap(est)(jnp.arange(n))
-    ident = Similarity(
-        scale=jnp.ones(()), theta=jnp.zeros(()), tx=jnp.zeros(()),
-        ty=jnp.zeros(()), n_inliers=jnp.int32(config.max_stars),
-        rms=jnp.zeros(()))
-    sims = jax.tree_util.tree_map(
-        lambda all_v, id_v: all_v.at[ref_idx].set(id_v), sims,
-        jax.tree_util.tree_map(lambda x: jnp.asarray(x), ident))
-    matrices = jax.vmap(lambda i: jax.tree_util.tree_map(
-        lambda a: a[i], sims).matrix())(jnp.arange(n))
+    sims, matrices, ref_idx = _solve_frame_similarities(stars, n, config)
 
     inv_flat = (1.0 / flat) if flat is not None \
         else jnp.ones((h, w), jnp.float32)

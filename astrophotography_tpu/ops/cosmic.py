@@ -38,6 +38,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from .stencil import conv2d_static
+
 from .stats import masked_median
 
 
@@ -87,18 +89,8 @@ def _gaussian_psf_kernel(fwhm: float, size: int) -> np.ndarray:
 
 
 def _conv_static(img: jnp.ndarray, kernel: np.ndarray) -> jnp.ndarray:
-    """Static-stencil convolution via shifted adds (no gathers)."""
-    h, w = img.shape
-    size = kernel.shape[0]
-    half = size // 2
-    padded = jnp.pad(img, half, mode="edge")
-    out = jnp.zeros_like(img)
-    for dy in range(size):
-        for dx in range(size):
-            k = float(kernel[dy, dx])
-            if k != 0.0:
-                out = out + k * padded[dy:dy + h, dx:dx + w]
-    return out
+    """Static-stencil convolution, edge-padded (see ops/stencil.py)."""
+    return conv2d_static(img, kernel, pad_mode="edge")
 
 
 def _dilate3(mask: jnp.ndarray) -> jnp.ndarray:

@@ -36,6 +36,8 @@ from typing import Optional, Tuple
 import jax
 import jax.numpy as jnp
 
+from .stencil import conv2d_static
+
 #: CCIR 601 luma coefficients (reference core/RawConv.py:550).
 CCIR601 = (0.299, 0.587, 0.114)
 
@@ -93,20 +95,8 @@ def demosaic_bilinear(values: jnp.ndarray, color_map: jnp.ndarray) -> jnp.ndarra
 
 
 def _conv5x5_sum(x: jnp.ndarray, kernel) -> jnp.ndarray:
-    """5x5 weighted sum via shifted adds over a reflect-padded image.
-
-    ``kernel`` is a static 5x5 nested sequence; zero taps are elided at
-    trace time (the MHC filters have 9-13 non-zero taps each).
-    """
-    h, w = x.shape
-    padded = jnp.pad(x, 2, mode="reflect")
-    out = jnp.zeros_like(x)
-    for dy in range(5):
-        for dx in range(5):
-            k = float(kernel[dy][dx])
-            if k != 0.0:
-                out = out + k * padded[dy:dy + h, dx:dx + w]
-    return out
+    """5x5 weighted sum, reflect-padded (see ops/stencil.py)."""
+    return conv2d_static(x, kernel, pad_mode="reflect")
 
 
 # Malvar-He-Cutler 2004 filters, in eighths.  Names by target:

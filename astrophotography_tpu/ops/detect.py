@@ -33,6 +33,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from .stencil import conv2d_static
+
 FWHM_TO_SIGMA = 1.0 / 2.35482
 
 
@@ -65,16 +67,18 @@ def daofind_kernel(fwhm: float) -> Tuple[jnp.ndarray, jnp.ndarray, int]:
     """
     r = _kernel_radius(fwhm)
     sigma = fwhm * FWHM_TO_SIGMA
-    yy, xx = jnp.mgrid[-r:r + 1, -r:r + 1]
-    d2 = (xx ** 2 + yy ** 2).astype(jnp.float32)
-    foot = (d2 <= r * r + r).astype(jnp.float32)  # DAOFIND circular footprint
-    g = jnp.exp(-0.5 * d2 / sigma ** 2) * foot
-    n = jnp.sum(foot)
-    gsum = jnp.sum(g)
-    gsq = jnp.sum(g * g)
+    # static host-side math (numpy): the kernel taps must be concrete
+    # so the stencil convolution can elide zero taps at trace time
+    yy, xx = np.mgrid[-r:r + 1, -r:r + 1]
+    d2 = (xx ** 2 + yy ** 2).astype(np.float32)
+    foot = (d2 <= r * r + r).astype(np.float32)  # DAOFIND circular footprint
+    g = np.exp(-0.5 * d2 / sigma ** 2) * foot
+    n = np.sum(foot)
+    gsum = np.sum(g)
+    gsq = np.sum(g * g)
     denom = gsq - gsum * gsum / n
     kernel = (g - (gsum / n)) * foot / denom
-    return kernel.astype(jnp.float32), foot, r
+    return kernel.astype(np.float32), jnp.asarray(foot), r
 
 
 def _conv2d_same(img: jnp.ndarray, kernel: jnp.ndarray) -> jnp.ndarray:
@@ -85,14 +89,9 @@ def _conv2d_same(img: jnp.ndarray, kernel: jnp.ndarray) -> jnp.ndarray:
     measured faster than conv_general_dilated's im2col-style lowering
     for single-channel images on TPU.
     """
-    kh, kw = kernel.shape
-    h, w = img.shape
-    padded = jnp.pad(img, ((kh // 2, kh // 2), (kw // 2, kw // 2)))
-    out = jnp.zeros_like(img)
-    for dy in range(kh):
-        for dx in range(kw):
-            out = out + kernel[dy, dx] * padded[dy:dy + h, dx:dx + w]
-    return out
+    import numpy as _np
+
+    return conv2d_static(img, _np.asarray(kernel), pad_mode="zero")
 
 
 def _conv_separable_same(img: jnp.ndarray, col: jnp.ndarray,

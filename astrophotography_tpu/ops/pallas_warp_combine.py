@@ -351,7 +351,8 @@ def _make_kernel(n, th, tw, span, h_in, w_in, vb, oy, ox,
 @functools.partial(jax.jit,
                    static_argnames=("tile", "span", "sigma_lower",
                                     "sigma_upper", "apron", "align",
-                                    "combine", "interpret"))
+                                    "combine", "dither_budget",
+                                    "interpret"))
 def pallas_warp_combine(
     cal: jnp.ndarray,
     matrices: jnp.ndarray,
@@ -401,6 +402,7 @@ def pallas_warp_combine(
                                    span=span, sigma_lower=sigma_lower,
                                    sigma_upper=sigma_upper, apron=apron,
                                    align=align, combine=combine,
+                                   dither_budget=dither_budget,
                                    interpret=True)
     if combine not in ("average", "median", "sum"):
         raise ValueError(f"unknown combine '{combine}'")

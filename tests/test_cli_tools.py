@@ -170,6 +170,9 @@ def test_ap_measure_background_odd_geometry(tmp_path):
     assert effective_grid(301, 457, 16, 16) == (7, 10, 48, 48)
     assert effective_grid(4008, 2672, 16, 16) == (16, 16, 252, 168)
     assert effective_grid(40, 40, 16, 16) == (1, 1, 48, 48)  # never 0 boxes
+    # exactly divisible geometry still gets the reference's literal
+    # floor-plus-one-quantum box (2*(1 + 1024//32) = 66, not 64)
+    assert effective_grid(1024, 1024, 16, 16) == (16, 16, 66, 66)
 
     rng = np.random.default_rng(50)
     h, w = 301, 457  # odd, not divisible by anything convenient
