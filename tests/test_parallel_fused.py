@@ -69,6 +69,33 @@ def test_sharded_fused_matches_single_device():
     np.testing.assert_array_equal(inner_g == 0.0, inner_r == 0.0)
 
 
+def test_sharded_fused_with_calibration_masters():
+    """Row-sharded fused kernel with uint16 raw frames + in-kernel
+    calibration (masters sharded like the frames) matches the
+    single-device kernel."""
+    cal, mats = _stack(n=3, h=256, w=512, dither=3.0)
+    bias = 250.0
+    raw = jnp.asarray(np.clip(np.asarray(cal) + bias, 0,
+                              65535).astype(np.uint16))
+    h, w = 256, 512
+    masters = jnp.stack([jnp.ones((h, w), jnp.float32),
+                         jnp.full((h, w), bias, jnp.float32),
+                         jnp.zeros((h, w), jnp.float32)])
+    ref = np.asarray(pallas_warp_combine(raw, mats, masters=masters,
+                                         tile=(128, 512)))
+    mesh = frame_space_mesh(n_frame=1, n_space=8, devices=jax.devices()[:8])
+    with mesh:
+        got = np.asarray(sharded_warp_combine(raw, mats, mesh,
+                                              masters=masters, halo=16,
+                                              tile=(64, 512)))
+    m = 16 + 8
+    both = (got[m:-m] != 0) & (ref[m:-m] != 0)
+    assert both.mean() > 0.9
+    err = np.abs(got[m:-m][both] - ref[m:-m][both])
+    assert (err > 0.5 + 1e-4 * np.abs(ref[m:-m][both])).mean() < 3e-4
+    np.testing.assert_array_equal(got[m:-m] == 0.0, ref[m:-m] == 0.0)
+
+
 def test_sharded_fused_rejects_bad_halo():
     devs = jax.devices()
     mesh = frame_space_mesh(n_frame=1, n_space=8, devices=devs[:8])
