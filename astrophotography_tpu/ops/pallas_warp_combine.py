@@ -121,10 +121,14 @@ def _tile_window_origins(mats6, n_ti, n_tj, th, tw, span,
     # min: one garbage matrix (a failed registration) would drag a
     # min-based origin away and exclude every GOOD frame via base_ok;
     # median-centering keeps the majority contained and lets the
-    # outlier be the one excluded
+    # outlier be the one excluded.  The margin is half the slack that
+    # REMAINS after block quantization (floor_divide can place the
+    # window start up to a full block-1 below the target, adding th-1 /
+    # tw-1 to the offset) — a naive half-window margin plus that
+    # rounding overflowed containment for unlucky translations
     thp = -(-(th + span) // 8) * 8
-    margin_y = (vb * th - thp) // 2
-    margin_x = (hb * tw - (tw + span)) // 2
+    margin_y = max((vb * th - thp - (th - 1)) // 2, 0)
+    margin_x = max((hb * tw - (tw + span) - (tw - 1)) // 2, 0)
     vmed = jnp.median(vbase, axis=0).astype(jnp.int32)
     umed = jnp.median(ubase, axis=0).astype(jnp.int32)
     byp = jnp.clip(jnp.floor_divide(vmed - margin_y, th) + oy,

@@ -223,3 +223,35 @@ def test_fused_apron_free_needs_three_blocks():
     with pytest.raises(ValueError):
         pallas_warp_combine(cal, mats, tile=(32, 64), apron=False,
                             interpret=True)
+
+
+def test_fused_matches_unfused_random_transforms():
+    """Property fuzz over random in-budget transforms: the fused kernel
+    must match the unfused pipeline wherever the reference reports
+    coverage (catches shared-window containment bugs)."""
+    rng = np.random.default_rng(23)
+    h, w = 96, 256
+    base = np.asarray(synth.make_rgb_scene((h, w), seed=23,
+                                           peak=5000)[..., 0], np.float32)
+    for trial in range(6):
+        n = int(rng.integers(3, 7))
+        cal = np.stack([base + rng.normal(0, 3, (h, w)).astype(np.float32)
+                        for _ in range(n)])
+        mats = [[[1.0, 0.0, 0.0], [0.0, 1.0, 0.0]]]
+        for _f in range(n - 1):
+            theta = rng.uniform(-0.004, 0.004)
+            tx, ty = rng.uniform(-10, 10, 2)
+            c, s = np.cos(theta), np.sin(theta)
+            mats.append([[c, -s, tx], [s, c, ty]])
+        cal_j = jnp.asarray(cal)
+        mats_j = jnp.asarray(np.asarray(mats, np.float32))
+        ref = _reference(cal_j, mats_j)
+        got = np.asarray(pallas_warp_combine(cal_j, mats_j, tile=(32, 64),
+                                             interpret=True))
+        inner = ref != 0.0
+        err = np.abs(got[inner] - ref[inner])
+        assert np.median(err) < 1e-3, trial
+        # tolerate rare sigma-clip tie flips, nothing else
+        tol = 0.5 + 1e-4 * np.abs(ref[inner])
+        assert (err > tol).mean() < 1e-4, (trial, float(err.max()))
+        np.testing.assert_array_equal(got == 0.0, ref == 0.0)

@@ -120,3 +120,33 @@ def test_separable_large_negative_translation():
         np.testing.assert_allclose(np.asarray(out_s)[inner],
                                    np.asarray(out_g)[inner],
                                    rtol=1e-4, atol=0.5)
+
+
+def test_separable_matches_gather_warp_random_transforms():
+    """Property fuzz: over random in-domain similarity transforms
+    (translations up to half the frame, stacking-scale rotations and
+    scale changes), the separable warp must match the direct 6x6 gather
+    kernel wherever both report coverage.  This is the net that catches
+    window/padding bugs (one hid at |t| > span until round 2)."""
+    rng = np.random.default_rng(17)
+    img = (np.add.outer(np.linspace(50, 250, 96),
+                        np.linspace(0, 120, 96))
+           + rng.normal(0, 2, (96, 96))).astype(np.float32)
+    for trial in range(12):
+        theta = rng.uniform(-0.01, 0.01)
+        scale = rng.uniform(0.98, 1.02)
+        tx, ty = rng.uniform(-45, 45, 2)
+        c, s = scale * np.cos(theta), scale * np.sin(theta)
+        m = jnp.asarray([[c, -s, tx], [s, c, ty]], jnp.float32)
+        out_g, cov_g = warp_affine_lanczos3(jnp.asarray(img), m, (96, 96))
+        out_s, cov_s = warp_affine_separable(jnp.asarray(img), m, (96, 96))
+        both = (np.asarray(cov_s) > 0.5) & (np.asarray(cov_g) > 0.5)
+        if both.sum() == 0:
+            continue
+        err = np.abs(np.asarray(out_s)[both] - np.asarray(out_g)[both])
+        # the two-pass result samples along sheared rows; equals the
+        # 2-D kernel exactly for translations, ~1e-3-level for
+        # stacking-scale rotations (ops/warp.py docstring)
+        assert np.median(err) < 0.05, (trial, theta, scale, tx, ty)
+        assert err.max() < 2.0, (trial, theta, scale, tx, ty,
+                                 float(err.max()))
