@@ -22,7 +22,8 @@ import jax.numpy as jnp
 import numpy as np
 import yaml
 
-from ..io.fits import BinTableHDU, HDUList, Header, ImageHDU, read_image
+from ..io.fits import (BinTableHDU, HDUList, Header, ImageHDU,
+                       read_image, read_image_device)
 from ..ops import (aperture_photometry, aperture_radii, find_saturated,
                    find_stars, isolated_mask, mask_boxes, measure_fwhm,
                    median_fwhm, sigma_clipped_stats, source_mask)
@@ -53,8 +54,9 @@ class StarFinder:
         self._max_sources = max_sources
         self._capacity = capacity
         self._sat_thresh = sat_frac * (2 ** bitdepth - 1)
-        data, hdr = read_image(fitsimg)
-        self._data = jnp.asarray(data)
+        # native-width transfer + on-device f32 conversion (halves the
+        # host->device bytes for 16-bit detector frames)
+        self._data, hdr = read_image_device(fitsimg)
         self._hdr = hdr
         self._fwhm_both = self._fwhm_x = self._fwhm_y = None
         self._nsrcs_fitted = 0

@@ -11,6 +11,7 @@ from .fits import (
     HDUList,
     open_fits,
     read_image,
+    read_image_device,
     write_image,
 )
 
@@ -21,5 +22,6 @@ __all__ = [
     "HDUList",
     "open_fits",
     "read_image",
+    "read_image_device",
     "write_image",
 ]

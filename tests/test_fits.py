@@ -153,3 +153,25 @@ def test_int8_image_roundtrip(tmp_path):
     out, _ = read_image(path, as_float32=False)
     assert out.dtype == np.int8
     np.testing.assert_array_equal(out, data)
+
+
+def test_read_image_device_semantics(tmp_path):
+    """read_image_device transfers the native-width array and applies
+    the f32 conversion + PEDESTAL on device, matching read_image."""
+    import jax.numpy as jnp
+    from astrophotography_tpu.io.fits import read_image_device
+
+    rng = np.random.default_rng(3)
+    img = rng.integers(-200, 4000, (32, 48)).astype(np.int16)
+    hdr = Header()
+    hdr["PEDESTAL"] = 100
+    p = str(tmp_path / "i16.fits")
+    write_image(p, img, hdr)
+
+    host, hh = read_image(p)
+    dev, hd = read_image_device(p)
+    assert isinstance(dev, jnp.ndarray)
+    assert dev.dtype == jnp.float32
+    np.testing.assert_allclose(np.asarray(dev), host, rtol=0, atol=0)
+    assert "PEDESTAL" not in hd
+    assert any("PEDESTAL" in h for h in hd.history)
