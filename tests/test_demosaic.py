@@ -270,3 +270,34 @@ def test_raw_to_rgb_algorithm_selectable():
     np.testing.assert_allclose(a, b, rtol=1e-5)
     with pytest.raises(ValueError):
         raw_to_rgb(mosaic, cmap, blacks, wb, algorithm="ahd_nope")
+
+
+def test_mhc_demosaic_random_mosaics_fuzz():
+    """Property fuzz: MHC demosaic over random smooth scenes stays
+    within a few ADU of the true channel values away from edges, for
+    every Bayer pattern."""
+    from astrophotography_tpu.ops import demosaic_mhc
+
+    patterns = [np.array([[0, 1], [3, 2]], np.uint8),   # RGGB
+                np.array([[2, 1], [3, 0]], np.uint8),   # BGGR
+                np.array([[1, 0], [2, 3]], np.uint8),   # GRBG
+                np.array([[1, 2], [0, 3]], np.uint8)]   # GBRG
+    rng = np.random.default_rng(31)
+    for trial, pattern in enumerate(patterns):
+        h, w = 64, 96
+        yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+        rgbs = []
+        for c in range(3):
+            a, b = rng.uniform(0.5, 3.0, 2)
+            img = 500 + a * xx + b * yy + 100 * np.sin(xx / 17 + c)
+            rgbs.append(img)
+        rgb = np.stack(rgbs, axis=-1).astype(np.float32)
+        cmap = synth.bayer_color_map((h, w), pattern)
+        # mosaic: sample each site's true channel (G for colors 1 and 3)
+        chan = np.choose(cmap, [0, 1, 2, 1])
+        cfa = np.take_along_axis(rgb, chan[..., None], axis=-1)[..., 0]
+        out = np.asarray(demosaic_mhc(cfa.astype(np.float32), cmap))
+        err = np.abs(out[8:-8, 8:-8] - rgb[8:-8, 8:-8])
+        assert np.median(err) < 2.0, (trial, float(np.median(err)))
+        assert np.percentile(err, 99) < 15.0, (trial,
+                                               float(np.percentile(err, 99)))
