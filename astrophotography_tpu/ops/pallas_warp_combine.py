@@ -139,7 +139,7 @@ def _tile_window_origins(mats6, n_ti, n_tj, th, tw, span,
 
 
 def _make_kernel(n, th, tw, span, h_in, w_in, vb, oy, ox,
-                 sigma_lo, sigma_hi, align, combine):
+                 sigma_lo, sigma_hi, align, combine, has_masters):
     wh = vb * th     # window height
     ww = 3 * tw      # window width
     thp = -(-(th + span) // 8) * 8       # extracted rows (sublane-padded)
@@ -148,10 +148,11 @@ def _make_kernel(n, th, tw, span, h_in, w_in, vb, oy, ox,
     def kernel(mats_ref, byp_ref, bxp_ref, *refs):
         nblk = vb * 3
         blocks = refs[:nblk]
-        mblocks = refs[nblk:2 * nblk]
-        out_ref = refs[2 * nblk]
-        rows_ref = refs[2 * nblk + 1]
-        win_ref = refs[2 * nblk + 2]
+        n_in = 2 * nblk if has_masters else nblk
+        mblocks = refs[nblk:2 * nblk] if has_masters else None
+        out_ref = refs[n_in]
+        rows_ref = refs[n_in + 1]
+        win_ref = refs[n_in + 2]
         i = pl.program_id(0)
         j = pl.program_id(1)
         f = pl.program_id(2)
@@ -182,10 +183,16 @@ def _make_kernel(n, th, tw, span, h_in, w_in, vb, oy, ox,
                     raw = raw_blk.astype(jnp.int32).astype(jnp.float32)
                 else:
                     raw = raw_blk.astype(jnp.float32)
-                mb = mblocks[dy * 3 + dx]
+                if has_masters:
+                    mb = mblocks[dy * 3 + dx]
+                    cal_blk = (raw * mb[0] - mb[1] - exp_r * mb[2]) \
+                        * flux_s  # A, B, C planes, then FSCALE
+                else:
+                    # pre-calibrated input: FSCALE only (no identity
+                    # master planes are delivered or multiplied)
+                    cal_blk = raw * flux_s
                 win_ref[dy * th:(dy + 1) * th, dx * tw:(dx + 1) * tw] = \
-                    (raw * mb[0] - mb[1] - exp_r * mb[2]) \
-                    * flux_s  # A, B, C planes, then FSCALE
+                    cal_blk
 
         for dy in range(vb):
             if align == "roll":
@@ -475,20 +482,16 @@ def pallas_warp_combine(
     byp, bxp = _tile_window_origins(mats6, n_ti, n_tj, th, tw, span,
                                     npi, npj, vb, 3, oy, ox)
 
-    if masters is None:
-        # identity calibration: A=1, B=0, C=0
-        masters = jnp.stack([
-            jnp.ones((h0, w0), jnp.float32),
-            jnp.zeros((h0, w0), jnp.float32),
-            jnp.zeros((h0, w0), jnp.float32)])
-    if apron:
-        mast_p = jnp.pad(masters.astype(jnp.float32),
-                         ((0, 0), (2 * th, 2 * th + ph), (tw, tw + pw)))
-    else:
-        mast_p = jnp.pad(masters.astype(jnp.float32),
-                         ((0, 0), (0, ph), (0, pw)))
-    # A=1 inside the apron too would pollute coverage-excluded pixels
-    # only, which never contribute
+    has_masters = masters is not None
+    if has_masters:
+        if apron:
+            mast_p = jnp.pad(masters.astype(jnp.float32),
+                             ((0, 0), (2 * th, 2 * th + ph), (tw, tw + pw)))
+        else:
+            mast_p = jnp.pad(masters.astype(jnp.float32),
+                             ((0, 0), (0, ph), (0, pw)))
+    # (A=1 inside the apron would pollute coverage-excluded pixels
+    # only, which never contribute)
 
     def make_map(dy, dx):
         def index_map(i, j, f, mats_ref, byp_ref, bxp_ref):
@@ -502,15 +505,18 @@ def pallas_warp_combine(
 
     in_specs = [pl.BlockSpec((1, th, tw), make_map(dy, dx))
                 for dy in range(vb) for dx in range(3)]
-    # master windows: one (3, th, tw) block per neighborhood position;
-    # their index maps are frame-independent, so Mosaic revisiting
-    # fetches each tile's master window once, not once per frame
-    in_specs += [pl.BlockSpec((3, th, tw), make_mmap(dy, dx))
-                 for dy in range(vb) for dx in range(3)]
+    if has_masters:
+        # master windows: one (3, th, tw) block per neighborhood
+        # position; their index maps are frame-independent, so Mosaic
+        # revisiting fetches each tile's master window once, not once
+        # per frame.  Pre-calibrated (masters=None) input skips these
+        # operands entirely.
+        in_specs += [pl.BlockSpec((3, th, tw), make_mmap(dy, dx))
+                     for dy in range(vb) for dx in range(3)]
 
     kernel = _make_kernel(n, th, tw, span, h0, w0, vb, oy, ox,
                           float(sigma_lower), float(sigma_upper),
-                          align, combine)
+                          align, combine, has_masters)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(n_ti, n_tj, n),
@@ -530,5 +536,6 @@ def pallas_warp_combine(
         # than the 16 MB default (measured 16.4 MB)
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=110 * 1024 * 1024),
         interpret=interpret,
-    )(mats, byp, bxp, *([cal_p] * (vb * 3)), *([mast_p] * (vb * 3)))
+    )(mats, byp, bxp, *([cal_p] * (vb * 3)),
+      *(([mast_p] * (vb * 3)) if has_masters else []))
     return out[:h0, :w0]
