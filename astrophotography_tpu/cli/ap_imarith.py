@@ -40,7 +40,13 @@ def parse(argv: Optional[List[str]]) -> argparse.Namespace:
 
 
 def run(ns: argparse.Namespace) -> None:
-    img, hdr = read_image(ns.input)
+    # native dtype: the reference allocates the result in the INPUT's
+    # dtype (core/ApImArith.py:321), so int16 in -> BITPIX 16 out;
+    # unsigned ints become float32 at read time (reference _read_fits)
+    img, hdr = read_image(ns.input, as_float32=False)
+    if img.dtype.kind == "u":
+        img = img.astype(np.float32)
+    out_dtype = img.dtype
     op = ns.op.upper()
     try:
         value = float(ns.value)
@@ -53,6 +59,8 @@ def run(ns: argparse.Namespace) -> None:
         value = jnp.asarray(other)
         desc = os.path.basename(ns.value)
     out = np.asarray(imarith(jnp.asarray(img), op, value))
+    if out.dtype != out_dtype:
+        out = out.astype(out_dtype)
     if ns.units:
         hdr["BUNIT"] = (ns.units, "Pixel data units")
     hdr.add_history(f"ap_imarith: {os.path.basename(ns.input)} {op} {desc}")

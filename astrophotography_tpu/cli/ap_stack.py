@@ -90,6 +90,15 @@ def _stack_union_canvas(stack, scales, cfg):
     for i in range(n):
         if inl[i] < 4 and i != int(ref_idx):
             continue   # unregistered frames are excluded anyway
+        if i != int(ref_idx) and np.abs(mats[i, :, 2]).max() > 50 * max(h, w):
+            # registration degeneracy gate (ops/register.py) replaces a
+            # rejected solve's translation with a 1e9 sentinel even when
+            # n_inliers >= 4; folding that into the union box would
+            # demand a ~2e9-px canvas.  Anything beyond a generous
+            # mosaic-scale offset is that sentinel, not data.
+            logger.warning(f"frame {i}: rejected registration (sentinel "
+                           "translation); excluded from the union canvas")
+            continue
         A = mats[i, :, :2]
         t = mats[i, :, 2]
         inv = np.linalg.inv(A)

@@ -234,11 +234,10 @@ def reduce_all(
 
                 frames = []
                 exps = [lf.exptime for _p, lf in cal_paths]
-                hdr0: Optional[Header] = None
+                hdrs: List[Header] = []
                 for _path, data, hdr in PrefetchLoader(
                         [p for p, _lf in cal_paths], depth=4, workers=4):
-                    if hdr0 is None:
-                        hdr0 = hdr
+                    hdrs.append(hdr)
                     frames.append(data)
                 shapes = {f.shape for f in frames}
                 if len(shapes) > 1:
@@ -266,7 +265,12 @@ def reduce_all(
                         flux_scales=jnp.asarray(scales), config=pcfg)
                     stacked = np.asarray(stacked)
                 dt = time.perf_counter() - t0
-                out_hdr = hdr0.copy() if hdr0 else Header()
+                # the output grid is the REFERENCE frame's pixel grid
+                # (ref_frame='auto' may pick any frame), so inherit ITS
+                # header — frame 0's WCS/pointing keywords would
+                # misdescribe the stack by the inter-frame offset
+                ref_hdr_i = int(diag.get("ref_frame", 0))
+                out_hdr = hdrs[ref_hdr_i].copy() if hdrs else Header()
                 out_hdr["IMAGETYP"] = ("STACK", "Registered stacked image")
                 out_hdr["NSTACK"] = (len(frames),
                                      "Number of frames in stack")

@@ -123,7 +123,9 @@ def _ref_index(stars, config: PipelineConfig):
     the first light; see ApQualitySummarizer usage in SURVEY.md)."""
     if config.ref_frame == "auto":
         return jnp.argmax(jnp.sum(stars.valid, axis=1))
-    return jnp.int32(config.ref_frame)
+    # normalize on the host: a negative index would otherwise CLAMP
+    # (JAX gather semantics), silently registering against frame 0
+    return jnp.int32(int(config.ref_frame) % stars.valid.shape[0])
 
 
 

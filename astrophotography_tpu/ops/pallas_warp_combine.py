@@ -208,6 +208,7 @@ def _make_kernel(n, th, tw, span, h_in, w_in, vb, oy, ox,
         m10 = mats_ref[f, 3]
         m11 = mats_ref[f, 4]
         m12 = mats_ref[f, 5]
+        is_trans = mats_ref[f, 8] > 0.5
         inv_m11 = 1.0 / m11
         gx = m00 - m01 * m10 * inv_m11
         gy = m01 * inv_m11
@@ -245,27 +246,7 @@ def _make_kernel(n, th, tw, span, h_in, w_in, vb, oy, ox,
             p_h = (r_h == c_h + offx).astype(jnp.float32)
             alig = jnp.dot(ext, p_h, preferred_element_type=jnp.float32)
 
-        # horizontal pass over the thp extracted rows (source rows
-        # vbase + r'); output columns j*tw + c
-        sr = jax.lax.broadcasted_iota(jnp.int32, (thp, tw), 0) \
-            .astype(jnp.float32)
-        sc = jax.lax.broadcasted_iota(jnp.int32, (thp, tw), 1) \
-            .astype(jnp.float32)
-        yprime = vbase.astype(jnp.float32) + sr
-        x_cols = j.astype(jnp.float32) * tw + sc
-        u = gx * x_cols + gy * yprime + g0
-        u_loc = u - ubase.astype(jnp.float32)
-
-        acc = jnp.zeros((thp, tw), jnp.float32)
-        wsum = jnp.zeros((thp, tw), jnp.float32)
-        for s in range(span):
-            wgt = _l3(u_loc - (sc + s))
-            acc = acc + wgt * alig[:, s:s + tw]
-            wsum = wsum + wgt
-        safe = jnp.abs(wsum) > 1e-3
-        mid = jnp.where(safe, acc / jnp.where(safe, wsum, 1.0), 0.0)
-
-        # vertical pass onto the output tile
+        # output-pixel coordinates + coverage (shared by both tap paths)
         rr = jax.lax.broadcasted_iota(jnp.int32, (th, tw), 0) \
             .astype(jnp.float32)
         cc = jax.lax.broadcasted_iota(jnp.int32, (th, tw), 1) \
@@ -274,21 +255,75 @@ def _make_kernel(n, th, tw, span, h_in, w_in, vb, oy, ox,
         x_out = j.astype(jnp.float32) * tw + cc
         v = m10 * x_out + m11 * y_out + m12
         v_loc = v - vbase.astype(jnp.float32)
-
-        acc2 = jnp.zeros((th, tw), jnp.float32)
-        wsum2 = jnp.zeros((th, tw), jnp.float32)
-        for s in range(span):
-            wgt = _l3(v_loc - (rr + s))
-            acc2 = acc2 + wgt * mid[s:s + th, :]
-            wsum2 = wsum2 + wgt
-        safe2 = jnp.abs(wsum2) > 1e-3
-        warped = jnp.where(safe2, acc2 / jnp.where(safe2, wsum2, 1.0), 0.0)
-
         sx = m00 * x_out + m01 * y_out + m02
+        # source-row coverage bounds: (2, h_in - 4) standalone; a
+        # row-sharded caller narrows them so taps never reach the
+        # zero-filled halo beyond the global image (parallel/fused.py)
+        vlo = mats_ref[0, 9]
+        vhi = mats_ref[0, 10]
         cover = ((sx >= 2.0) & (sx <= w_in - 4.0)
-                 & (v >= 2.0) & (v <= h_in - 4.0) & base_ok)
+                 & (v >= vlo) & (v <= vhi) & base_ok)
         big = jnp.float32(3.4e38)
-        rows_ref[f] = jnp.where(cover, warped, big)
+
+        @pl.when(is_trans)
+        def _taps_translation():
+            # pure-translation frames (snapped outside when the affine
+            # differs from a translation by < snap_tol px anywhere on
+            # the grid): u_loc - (sc + s) = j*tw + tx - ubase - s is
+            # CONSTANT over the tile, so the Lanczos weights are 2*span
+            # scalars — the per-pixel work collapses from ~2*span
+            # polynomial evaluations + divides to 2*span scalar FMAs
+            a_u = j.astype(jnp.float32) * tw + g0 \
+                - ubase.astype(jnp.float32)
+            ws = [_l3(a_u - s) for s in range(span)]
+            wsum = functools.reduce(lambda x, y: x + y, ws)
+            inv = jnp.where(jnp.abs(wsum) > 1e-3, 1.0 / wsum, 0.0)
+            mid = (ws[0] * inv) * alig[0:thp, 0:tw]
+            for s in range(1, span):
+                mid = mid + (ws[s] * inv) * alig[:, s:s + tw]
+            a_v = i.astype(jnp.float32) * th + m12 \
+                - vbase.astype(jnp.float32)
+            ws2 = [_l3(a_v - s) for s in range(span)]
+            wsum2 = functools.reduce(lambda x, y: x + y, ws2)
+            inv2 = jnp.where(jnp.abs(wsum2) > 1e-3, 1.0 / wsum2, 0.0)
+            warped = (ws2[0] * inv2) * mid[0:th, :]
+            for s in range(1, span):
+                warped = warped + (ws2[s] * inv2) * mid[s:s + th, :]
+            rows_ref[f] = jnp.where(cover, warped, big)
+
+        @pl.when(jnp.logical_not(is_trans))
+        def _taps_general():
+            # horizontal pass over the thp extracted rows (source rows
+            # vbase + r'); output columns j*tw + c
+            sr = jax.lax.broadcasted_iota(jnp.int32, (thp, tw), 0) \
+                .astype(jnp.float32)
+            sc = jax.lax.broadcasted_iota(jnp.int32, (thp, tw), 1) \
+                .astype(jnp.float32)
+            yprime = vbase.astype(jnp.float32) + sr
+            x_cols = j.astype(jnp.float32) * tw + sc
+            u = gx * x_cols + gy * yprime + g0
+            u_loc = u - ubase.astype(jnp.float32)
+
+            acc = jnp.zeros((thp, tw), jnp.float32)
+            wsum = jnp.zeros((thp, tw), jnp.float32)
+            for s in range(span):
+                wgt = _l3(u_loc - (sc + s))
+                acc = acc + wgt * alig[:, s:s + tw]
+                wsum = wsum + wgt
+            safe = jnp.abs(wsum) > 1e-3
+            mid = jnp.where(safe, acc / jnp.where(safe, wsum, 1.0), 0.0)
+
+            # vertical pass onto the output tile
+            acc2 = jnp.zeros((th, tw), jnp.float32)
+            wsum2 = jnp.zeros((th, tw), jnp.float32)
+            for s in range(span):
+                wgt = _l3(v_loc - (rr + s))
+                acc2 = acc2 + wgt * mid[s:s + th, :]
+                wsum2 = wsum2 + wgt
+            safe2 = jnp.abs(wsum2) > 1e-3
+            warped = jnp.where(
+                safe2, acc2 / jnp.where(safe2, wsum2, 1.0), 0.0)
+            rows_ref[f] = jnp.where(cover, warped, big)
 
         @pl.when(f == n - 1)
         def _():
@@ -363,7 +398,7 @@ def _make_kernel(n, th, tw, span, h_in, w_in, vb, oy, ox,
                    static_argnames=("tile", "span", "sigma_lower",
                                     "sigma_upper", "apron", "align",
                                     "combine", "dither_budget",
-                                    "interpret"))
+                                    "snap_tol", "interpret"))
 def pallas_warp_combine(
     cal: jnp.ndarray,
     matrices: jnp.ndarray,
@@ -378,6 +413,9 @@ def pallas_warp_combine(
     align: str = "roll",
     combine: str = "average",
     dither_budget: int = 64,
+    snap_tol: float = 0.05,
+    v_bounds: "jnp.ndarray | None" = None,
+    snap_geom: "jnp.ndarray | None" = None,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Warp every frame by its matrix and sigma-clip-combine, fused —
@@ -401,7 +439,14 @@ def pallas_warp_combine(
     rather than resampled from out-of-window data (raise it for
     mosaic-scale offsets — it may demand taller tiles).  ``combine`` is 'average' (sigma-clipped mean), 'median'
     (plain masked median, swarp COMBINE_TYPE MEDIAN), or 'sum'
-    (clip-rescaled sum).  Returns (H, W).
+    (clip-rescaled sum).
+    ``snap_tol`` (px, static): frames whose affine differs from a pure
+    translation by less than this anywhere on the grid are snapped to
+    that translation and take a ~10x cheaper scalar-weight tap path
+    (0 disables).  ``v_bounds`` (2,) traced (vlo, vhi) source-row
+    coverage bounds, default (2, H-4) — a row-sharded caller narrows
+    them to keep taps off the zero-filled halo beyond the global image.
+    Returns (H, W).
     """
     import jax as _jax
 
@@ -414,6 +459,8 @@ def pallas_warp_combine(
                                    sigma_upper=sigma_upper, apron=apron,
                                    align=align, combine=combine,
                                    dither_budget=dither_budget,
+                                   snap_tol=snap_tol, v_bounds=v_bounds,
+                                   snap_geom=snap_geom,
                                    interpret=True)
     if combine not in ("average", "median", "sum"):
         raise ValueError(f"unknown combine '{combine}'")
@@ -472,13 +519,54 @@ def pallas_warp_combine(
     # excludes them per tile instead of resampling out-of-window data
 
     mats6 = matrices.reshape(n, 6).astype(jnp.float32)
+    # translation snap: a frame whose affine differs from a pure
+    # translation by less than snap_tol px at every output pixel (max
+    # |(A - I)(p - c)| over the grid corners, c = grid center) is
+    # replaced by that translation and flagged, so the kernel's
+    # scalar-weight tap path handles it (~10x fewer VPU ops/px).  Real
+    # field rotation (even 0.01 deg on a 4k frame) exceeds any sane
+    # tolerance and keeps the general path; snap_tol=0 disables.
+    if snap_tol > 0.0:
+        # snap_geom (cx, cy, rx, ry): the snap center and half-extents.
+        # A row-sharded caller passes the GLOBAL geometry rebased into
+        # local coordinates so every shard snaps to the identical
+        # translation (parallel/fused.py) — shard-dependent centers
+        # would resample each band differently.
+        if snap_geom is None:
+            cx = jnp.float32((w0 - 1) * 0.5)
+            cy = jnp.float32((h0 - 1) * 0.5)
+            rx, ry = cx, cy
+        else:
+            cx, cy = snap_geom[0], snap_geom[1]
+            rx, ry = snap_geom[2], snap_geom[3]
+        err_u = jnp.abs(mats6[:, 0] - 1.0) * rx + jnp.abs(mats6[:, 1]) * ry
+        err_v = jnp.abs(mats6[:, 3]) * rx + jnp.abs(mats6[:, 4] - 1.0) * ry
+        is_t = jnp.maximum(err_u, err_v) < snap_tol
+        tx = mats6[:, 0] * cx + mats6[:, 1] * cy + mats6[:, 2] - cx
+        ty = mats6[:, 3] * cx + mats6[:, 4] * cy + mats6[:, 5] - cy
+        ones = jnp.ones_like(tx)
+        zeros = jnp.zeros_like(tx)
+        snapped = jnp.stack([ones, zeros, tx, zeros, ones, ty], axis=1)
+        mats6 = jnp.where(is_t[:, None], snapped, mats6)
+        trans_flag = is_t.astype(jnp.float32)
+    else:
+        trans_flag = jnp.zeros((n,), jnp.float32)
     if exp_ratios is None:
         exp_ratios = jnp.ones((n,), jnp.float32)
     if flux_scales is None:
         flux_scales = jnp.ones((n,), jnp.float32)
+    if v_bounds is None:
+        vlo_v = jnp.float32(2.0)
+        vhi_v = jnp.float32(h0 - 4.0)
+    else:
+        vlo_v = v_bounds[0].astype(jnp.float32)
+        vhi_v = v_bounds[1].astype(jnp.float32)
     mats = jnp.concatenate(
         [mats6, exp_ratios.reshape(n, 1).astype(jnp.float32),
-         flux_scales.reshape(n, 1).astype(jnp.float32)], axis=1)  # (n, 8)
+         flux_scales.reshape(n, 1).astype(jnp.float32),
+         trans_flag.reshape(n, 1),
+         jnp.broadcast_to(vlo_v, (n, 1)),
+         jnp.broadcast_to(vhi_v, (n, 1))], axis=1)  # (n, 11)
     byp, bxp = _tile_window_origins(mats6, n_ti, n_tj, th, tw, span,
                                     npi, npj, vb, 3, oy, ox)
 

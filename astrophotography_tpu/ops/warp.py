@@ -127,7 +127,8 @@ def warp_affine_lanczos3(
 
 @functools.partial(jax.jit,
                    static_argnames=("out_shape", "band", "span",
-                                    "analytic_coverage"))
+                                    "analytic_coverage",
+                                    "translation_budget"))
 def warp_affine_separable(
     img: jnp.ndarray,
     matrix: jnp.ndarray,
@@ -135,6 +136,7 @@ def warp_affine_separable(
     band: int = 64,
     span: int = 24,
     analytic_coverage: bool = False,
+    translation_budget: "int | None" = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Gather-free two-pass Lanczos3 affine warp (the TPU fast path).
 
@@ -161,6 +163,12 @@ def warp_affine_separable(
     direct 2-D kernel exactly for pure translations and differs at the
     1e-3 level on smooth images for stacking-scale rotations.
     Returns (warped, coverage) like warp_affine_lanczos3.
+
+    ``translation_budget`` (px, static): the declared max |translation|.
+    None (default) sizes the transient pads for ANY in-coverage shift —
+    safe but ~3x the image per axis; a finite budget shrinks the pads
+    to budget-scale, and frames shifted beyond (budget - span - 4) are
+    excluded via coverage rather than resampled wrongly.
     """
     img = img.astype(jnp.float32)
     h_in, w_in = img.shape
@@ -181,8 +189,19 @@ def warp_affine_separable(
     # output dimension plus the tap footprint (a tighter span+6 pad
     # silently zeroed frames translated left/up by more than ~span px —
     # their taps fell outside the clipped block while analytic coverage
-    # still reported them valid)
-    pad = w_out + span + 4
+    # still reported them valid).  ``translation_budget`` trades that
+    # full-safety pad (a ~3x-per-axis transient copy) for a declared
+    # |shift| bound: pads shrink to budget-scale and, in analytic mode,
+    # coverage additionally requires |source - output| <= budget -
+    # span - 4 per axis, so an out-of-budget frame degrades to zero
+    # COVERAGE (excluded from the combine), never to zero values
+    # counted as data.
+    if translation_budget is not None:
+        if translation_budget < span + 5:
+            raise ValueError("translation_budget must exceed span + 4")
+        pad = translation_budget + span + 4
+    else:
+        pad = w_out + span + 4
     if analytic_coverage:
         # coverage of an affine warp is analytic: a pixel is covered iff
         # its source coordinate keeps the full 6-tap footprint inside the
@@ -199,7 +218,7 @@ def warp_affine_separable(
     rows_pad1 = n_bands1 * band - h_in
     # right/bottom pads are sized so the base clip below never excludes
     # a tap that could touch the real image (base can reach dim + 3)
-    pad_r = w_out + span + 4
+    pad_r = pad
     src_p = jnp.pad(src, ((0, 0), (0, rows_pad1), (pad, pad_r)))
     xs_out = jnp.arange(w_out, dtype=jnp.float32)
     xi_out = jnp.arange(w_out, dtype=jnp.int32)
@@ -244,7 +263,7 @@ def warp_affine_separable(
     mid = mid[:, :h_in, :]
 
     # vertical pass: out[y, x] = mid[v(x, y), x]
-    pad_t = h_out + span + 4
+    pad_t = pad if translation_budget is not None else h_out + span + 4
     pad_b = band + span + 4
     mid_p = jnp.pad(mid, ((0, 0), (pad_t, pad_b), (0, 0)))
     n_bands2 = -(-h_out // band)
@@ -271,9 +290,17 @@ def warp_affine_separable(
         xs_o = jnp.arange(w_out, dtype=jnp.float32)[None, :]
         sx = m00 * xs_o + m01 * ys_o + m02
         sy = m10 * xs_o + m11 * ys_o + m12
-        cover = (((sx >= 2.0) & (sx <= w_in - 4.0)
-                  & (sy >= 2.0) & (sy <= h_in - 4.0))
-                 .astype(jnp.float32))
+        cov_b = (sx >= 2.0) & (sx <= w_in - 4.0) \
+            & (sy >= 2.0) & (sy <= h_in - 4.0)
+        if translation_budget is not None:
+            # a covered pixel's |shift| bounded away from the budget by
+            # span + 4 guarantees its band's block base never hits the
+            # pad clip (in-band spread is <= span - 6 by the domain
+            # condition), so values under the shrunken pads stay exact
+            b_eff = float(translation_budget - span - 4)
+            cov_b = cov_b & (jnp.abs(sx - xs_o) <= b_eff) \
+                & (jnp.abs(sy - ys_o) <= b_eff)
+        cover = cov_b.astype(jnp.float32)
         return out2[0] * cover, cover
     data, cover = out2[0], out2[1]
     out = jnp.where(cover > 1e-6,

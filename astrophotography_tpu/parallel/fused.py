@@ -12,11 +12,11 @@ the sharded form of the reference's swarp+combine step
 (scripts/resample_all.sh:62-79), which shards by *file* on one host.
 
 Global-edge semantics: the halo exchange zero-fills beyond the first
-and last shard, and each shard's kernel additionally excludes source
-taps within a few pixels of its local band edge, so up to
-``halo + 6`` rows at the global top/bottom may be zeroed that the
-single-device kernel would keep (and vice versa at nothing else) — the
-interior is bit-identical.
+and last shard, and each shard narrows the kernel's source-row
+coverage bounds (``v_bounds``) to the global [2, H-4] window, so taps
+never reach the zero-filled halo: edge rows are excluded or kept by
+exactly the single-device rule, and the whole output is bit-identical
+to the single-device kernel.
 """
 
 from __future__ import annotations
@@ -82,8 +82,21 @@ def sharded_warp_combine(
         m11 = mats[:, 1, 1]
         shift = jnp.stack([m01 * yoff, m11 * yoff - yoff], axis=1)
         mats_local = mats.at[:, :, 2].add(shift)
+        # global coverage bounds in LOCAL source rows: the first/last
+        # shard's halo beyond the global image is zero-fill, so taps
+        # must stop at global rows [2, H-4] exactly as the single-device
+        # kernel does — interior shards see no-op bounds
+        v_bounds = jnp.stack([2.0 - yoff, (h - 4.0) - yoff])
+        # global snap geometry rebased to local rows: every shard then
+        # snaps near-translation frames to the IDENTICAL translation
+        snap_geom = jnp.stack([jnp.float32((w - 1) * 0.5),
+                               jnp.float32((h - 1) * 0.5) - yoff,
+                               jnp.float32((w - 1) * 0.5),
+                               jnp.float32((h - 1) * 0.5)])
         out = pallas_warp_combine(fr_pad, mats_local, masters=mast_pad,
-                                  exp_ratios=exp_r, **kernel_kwargs)
+                                  exp_ratios=exp_r, v_bounds=v_bounds,
+                                  snap_geom=snap_geom,
+                                  **kernel_kwargs)
         return out[halo:halo + band, :]
 
     fn = shard_map(

@@ -22,7 +22,9 @@ def _write(tmp_path, name, data, **keys):
     for k, v in keys.items():
         hdr[k] = v
     path = str(tmp_path / name)
-    write_image(path, np.asarray(data, np.float32), hdr)
+    dtype = data.dtype if isinstance(data, np.ndarray) \
+        and data.dtype.kind in "iu" else np.float32
+    write_image(path, np.asarray(data, dtype), hdr)
     return path
 
 
@@ -96,6 +98,23 @@ def test_ap_imarith_scalar_and_image(tmp_path):
     # mismatched shapes -> error exit
     c = _write(tmp_path, "c.fits", np.zeros((4, 4)))
     assert ap_imarith([a, "ADD", c, out, "-l", "CRITICAL"]) == 1
+
+
+def test_ap_imarith_preserves_input_dtype(tmp_path):
+    """Output dtype follows the input's (reference ApImArith.py:321):
+    int16 in -> BITPIX 16 out, float32 in -> BITPIX -32 out."""
+    i16 = _write(tmp_path, "i16.fits", np.full((8, 8), 7, np.int16))
+    out = str(tmp_path / "o16.fits")
+    assert ap_imarith([i16, "ADD", "3", out, "-l", "ERROR"]) == 0
+    data, _ = read_image(out, as_float32=False)
+    assert data.dtype == np.int16
+    np.testing.assert_array_equal(data, 10)
+    f32 = _write(tmp_path, "f32.fits", np.full((8, 8), 7.0, np.float32))
+    outf = str(tmp_path / "of32.fits")
+    assert ap_imarith([f32, "DIV", "2", outf, "-l", "ERROR"]) == 0
+    dataf, _ = read_image(outf, as_float32=False)
+    assert dataf.dtype == np.float32
+    np.testing.assert_allclose(dataf, 3.5)
 
 
 def test_find_and_fix_badpix_workflow(tmp_path):

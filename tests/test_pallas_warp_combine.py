@@ -38,7 +38,12 @@ def _make_inputs(n=5, h=64, w=128, seed=0):
                     for _ in range(n)])
     mats = []
     for f in range(n):
-        theta = 0.0 if f == 0 else rng.uniform(-0.004, 0.004)
+        # rotations large enough that the corner displacement exceeds
+        # the kernel's default snap_tol (0.05 px), so these frames
+        # deterministically exercise the general tap path; frame 0
+        # (identity) exercises the snapped translation path
+        theta = 0.0 if f == 0 else \
+            rng.choice([-1, 1]) * rng.uniform(0.002, 0.004)
         tx, ty = (0.0, 0.0) if f == 0 else rng.uniform(-5, 5, 2)
         c, s = np.cos(theta), np.sin(theta)
         mats.append([[c, -s, tx], [s, c, ty]])
@@ -218,6 +223,50 @@ def test_garbage_matrix_does_not_poison_good_frames():
     np.testing.assert_allclose(got[inner], ref[inner], rtol=1e-4, atol=0.5)
 
 
+def test_translation_snap_matches_general_path():
+    """Exact-translation frames take the scalar-weight fast tap path;
+    it must agree with the general per-pixel path to float
+    reassociation noise."""
+    rng = np.random.default_rng(31)
+    n, h, w = 6, 96, 384
+    cal = jnp.asarray(rng.uniform(0, 1000, (n, h, w)).astype(np.float32))
+    mats = np.tile(np.eye(2, 3, dtype=np.float32), (n, 1, 1))
+    mats[:, 0, 2] = rng.uniform(-3, 3, n)
+    mats[:, 1, 2] = rng.uniform(-3, 3, n)
+    mats_j = jnp.asarray(mats)
+    fast = np.asarray(pallas_warp_combine(cal, mats_j, tile=(32, 128),
+                                          span=8, interpret=True))
+    slow = np.asarray(pallas_warp_combine(cal, mats_j, tile=(32, 128),
+                                          span=8, snap_tol=0.0,
+                                          interpret=True))
+    np.testing.assert_allclose(fast, slow, rtol=1e-4, atol=0.05)
+
+
+def test_translation_snap_geometric_tolerance():
+    """A sub-tolerance rotation is snapped to the best-fit translation:
+    the fused output must equal the unfused reference warped with that
+    SNAPPED matrix (validating the snap formula), and rotations above
+    the tolerance must not snap."""
+    cal, _ = _make_inputs(n=4, h=64, w=128, seed=41)
+    h, w = cal.shape[1:]
+    theta = 3e-4  # corner err ~0.02 px < 0.05 default tol
+    c, s = np.cos(theta), np.sin(theta)
+    mats = np.tile(np.eye(2, 3, dtype=np.float32), (4, 1, 1))
+    for f in range(1, 4):
+        mats[f] = [[c, -s, f * 0.7], [s, c, -f * 0.3]]
+    got = np.asarray(pallas_warp_combine(cal, jnp.asarray(mats),
+                                         tile=(32, 64), interpret=True))
+    # snap each matrix the way the kernel does (displacement at center)
+    cx, cy = (w - 1) / 2.0, (h - 1) / 2.0
+    snapped = np.tile(np.eye(2, 3, dtype=np.float32), (4, 1, 1))
+    for f in range(4):
+        snapped[f, 0, 2] = mats[f, 0] @ [cx, cy, 1.0] - cx
+        snapped[f, 1, 2] = mats[f, 1] @ [cx, cy, 1.0] - cy
+    ref = _reference(cal, jnp.asarray(snapped))
+    inner = ref != 0.0
+    np.testing.assert_allclose(got[inner], ref[inner], rtol=1e-4, atol=0.5)
+
+
 def test_fused_apron_free_needs_three_blocks():
     cal, mats = _make_inputs(n=2, h=64, w=128, seed=1)
     with pytest.raises(ValueError):
@@ -239,7 +288,8 @@ def test_fused_matches_unfused_random_transforms():
                         for _ in range(n)])
         mats = [[[1.0, 0.0, 0.0], [0.0, 1.0, 0.0]]]
         for _f in range(n - 1):
-            theta = rng.uniform(-0.004, 0.004)
+            # above the snap tolerance (see _make_inputs)
+            theta = rng.choice([-1, 1]) * rng.uniform(0.0015, 0.004)
             tx, ty = rng.uniform(-10, 10, 2)
             c, s = np.cos(theta), np.sin(theta)
             mats.append([[c, -s, tx], [s, c, ty]])

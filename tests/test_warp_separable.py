@@ -150,3 +150,42 @@ def test_separable_matches_gather_warp_random_transforms():
         assert np.median(err) < 0.05, (trial, theta, scale, tx, ty)
         assert err.max() < 2.0, (trial, theta, scale, tx, ty,
                                  float(err.max()))
+
+
+def test_separable_translation_budget_in_budget_parity():
+    """A finite translation_budget shrinks the transient pads but must
+    be value-identical to the full-safety pads for in-budget shifts."""
+    img = _scene()
+    m = jnp.asarray([[1.0, 0.0, -21.4], [0.0, 1.0, 17.9]], jnp.float32)
+    full, cov_f = warp_affine_separable(img, m, img.shape, span=12,
+                                        analytic_coverage=True)
+    tight, cov_t = warp_affine_separable(img, m, img.shape, span=12,
+                                         analytic_coverage=True,
+                                         translation_budget=48)
+    ft = np.asarray(cov_t) > 0.5
+    np.testing.assert_allclose(np.asarray(tight)[ft],
+                               np.asarray(full)[ft], rtol=1e-5, atol=1e-3)
+    # the budgeted coverage may only SHRINK, never grow
+    assert not np.any(ft & ~(np.asarray(cov_f) > 0.5))
+
+
+def test_separable_translation_budget_excludes_not_zeroes():
+    """A frame shifted beyond the budget must lose COVERAGE (excluded
+    from any combine) — zero values counted as data would silently dim
+    the stack (the round-2 bug class this parameter must not recreate)."""
+    img = _scene()
+    m = jnp.asarray([[1.0, 0.0, -70.0], [0.0, 1.0, 0.0]], jnp.float32)
+    out, cov = warp_affine_separable(img, m, img.shape, span=12,
+                                     analytic_coverage=True,
+                                     translation_budget=40)
+    cov = np.asarray(cov)
+    out = np.asarray(out)
+    # every zero-valued pixel is also uncovered: no covered zeros
+    assert np.all(out[cov > 0.5] != 0.0) or cov.max() < 0.5
+    # and wherever it DOES report coverage, values match the safe path
+    safe, _ = warp_affine_separable(img, m, img.shape, span=12,
+                                    analytic_coverage=True)
+    full = cov > 0.5
+    if full.any():
+        np.testing.assert_allclose(out[full], np.asarray(safe)[full],
+                                   rtol=1e-5, atol=1e-3)
