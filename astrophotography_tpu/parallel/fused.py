@@ -15,8 +15,9 @@ Global-edge semantics: the halo exchange zero-fills beyond the first
 and last shard, and each shard narrows the kernel's source-row
 coverage bounds (``v_bounds``) to the global [2, H-4] window, so taps
 never reach the zero-filled halo: edge rows are excluded or kept by
-exactly the single-device rule, and the whole output is bit-identical
-to the single-device kernel.
+exactly the single-device rule, and the whole output (edges included)
+matches the single-device kernel to float-reassociation / clip-tie
+tolerance (bit-identical for pure-translation frames).
 """
 
 from __future__ import annotations

@@ -51,12 +51,11 @@ def test_sharded_fused_matches_single_device():
         got = np.asarray(sharded_warp_combine(cal, mats, mesh, halo=16,
                                               tile=(64, 512)))
     assert got.shape == ref.shape
-    # interior parity: the sharded path's global-edge halo handling may
-    # differ from the single-device apron within halo+6 rows of the
-    # global top/bottom (documented in parallel/fused.py)
-    m = 16 + 8
-    inner_g = got[m:-m, :]
-    inner_r = ref[m:-m, :]
+    # FULL-frame parity including the global edges: v_bounds keeps each
+    # shard's taps off the zero-filled halo, so edge rows follow the
+    # single-device coverage rule exactly (parallel/fused.py)
+    inner_g = got
+    inner_r = ref
     both = (inner_g != 0) & (inner_r != 0)
     assert both.mean() > 0.9
     # allow a few ulp-level sigma-clip tie flips (a frame value exactly
@@ -88,12 +87,61 @@ def test_sharded_fused_with_calibration_masters():
         got = np.asarray(sharded_warp_combine(raw, mats, mesh,
                                               masters=masters, halo=16,
                                               tile=(64, 512)))
-    m = 16 + 8
-    both = (got[m:-m] != 0) & (ref[m:-m] != 0)
+    both = (got != 0) & (ref != 0)
     assert both.mean() > 0.9
-    err = np.abs(got[m:-m][both] - ref[m:-m][both])
-    assert (err > 0.5 + 1e-4 * np.abs(ref[m:-m][both])).mean() < 3e-4
-    np.testing.assert_array_equal(got[m:-m] == 0.0, ref[m:-m] == 0.0)
+    err = np.abs(got[both] - ref[both])
+    assert (err > 0.5 + 1e-4 * np.abs(ref[both])).mean() < 3e-4
+    np.testing.assert_array_equal(got == 0.0, ref == 0.0)
+
+
+def test_sharded_lean_pipeline_matches_single_device():
+    """The FULL memory-lean pipeline (chunked detection loop +
+    in-kernel-calibrating fused kernel) jitted over the mesh with
+    frame-sharded raw uint16 input matches the unsharded run — the
+    multi-chip form of the 100x16-Mpix bench path (SURVEY.md 2.6).
+    Geometry is interpreter-bounded (1-core host)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from astrophotography_tpu.models import PipelineConfig
+    from astrophotography_tpu.models.pipeline import (
+        calibrate_register_stack_lean)
+    from tests.test_register_stack import _make_dithered_stack
+
+    h = w = 128
+    frames, _t, _ = _make_dithered_stack(n_frames=4, shape=(h, w), seed=9)
+    bias = np.full((h, w), 250.0, np.float32)
+    raw = jnp.asarray(np.clip(frames + bias, 0, 65535).astype(np.uint16))
+    bias_d = jnp.asarray(bias)
+    cfg = PipelineConfig(max_stars=24, match_k=10, detect_mode="chunked",
+                         detect_chunk=2, detect_topk="tile",
+                         detect_fast=True, fused_tile=(16, w))
+
+    ref, ref_diag = calibrate_register_stack_lean(raw, bias=bias_d,
+                                                  config=cfg)
+    ref = np.asarray(ref)
+
+    devs = jax.devices()
+    mesh = frame_space_mesh(n_frame=2, n_space=4, devices=devs[:8])
+
+    def step(fr, b):
+        stacked, diag = calibrate_register_stack_lean(fr, bias=b,
+                                                      config=cfg)
+        stacked = jax.lax.with_sharding_constraint(
+            stacked, NamedSharding(mesh, P("space", None)))
+        return stacked, diag["n_inliers"]
+
+    with mesh:
+        stepc = jax.jit(step, in_shardings=(
+            NamedSharding(mesh, P("frame", None, None)),
+            NamedSharding(mesh, P(None, None))))
+        got, inl = stepc(raw, bias_d)
+        got = np.asarray(got)
+    np.testing.assert_array_equal(np.asarray(inl),
+                                  np.asarray(ref_diag["n_inliers"]))
+    both = (got != 0) & (ref != 0)
+    assert both.mean() > 0.8
+    err = np.abs(got[both] - ref[both])
+    assert (err > 0.5 + 1e-4 * np.abs(ref[both])).mean() < 3e-4
 
 
 def test_sharded_fused_rejects_bad_halo():
