@@ -32,6 +32,11 @@ def parse(argv: Optional[List[str]]) -> argparse.Namespace:
                    help="source list extension with X/Y (default AP_XYPOS)")
     p.add_argument("--timeout", type=float, default=180.0,
                    help="solve timeout in seconds (default 180)")
+    p.add_argument("--use-sip", dest="use_sip", action="store_true",
+                   help="allow fitting a SIP distortion polynomial of "
+                        "order 2 (reference scripts/ap_astrometry.py:"
+                        "63-66; some downstream software, e.g. swarp, "
+                        "may not handle SIP correctly)")
     add_loglevel(p)
     return p.parse_args(argv)
 
@@ -40,7 +45,7 @@ def run(ns: argparse.Namespace) -> None:
     if not ns.key:
         raise RuntimeError(
             "astrometry.net API key required (--key or ASTROMETRY_API_KEY)")
-    ast = Astrometry(transport=nova_transport(ns.key),
+    ast = Astrometry(transport=nova_transport(ns.key, use_sip=ns.use_sip),
                      user_scale=ns.user_scale,
                      scale_err_ratio=ns.scale_err_ratio)
     wcs = ast.solve(ns.image, ns.srclist, ns.output,

@@ -569,8 +569,21 @@ def _read_exact(fh, n: int) -> bytes:
 def open_fits(path: str) -> HDUList:
     """Read all HDUs of a FITS file (optionally gzipped)."""
     opener = gzip.open if (path.endswith(".gz") or path.endswith(".ftz")) else open
-    hdus = HDUList()
     with opener(path, "rb") as fh:
+        return _open_fits_stream(fh, name=path)
+
+
+def open_fits_bytes(data: bytes) -> HDUList:
+    """Read all HDUs from an in-memory FITS byte string (e.g. a
+    downloaded astrometry.net ``wcs_file``)."""
+    import io as _io
+
+    return _open_fits_stream(_io.BytesIO(data), name="<bytes>")
+
+
+def _open_fits_stream(fh, name: str = "<stream>") -> HDUList:
+    hdus = HDUList()
+    if True:
         first = True
         while True:
             block = fh.read(BLOCK)
@@ -585,7 +598,7 @@ def open_fits(path: str) -> HDUList:
                 raw += _read_exact(fh, BLOCK)
             header = Header._from_blocks(bytes(raw))
             if first and header.get("SIMPLE") is None and "XTENSION" not in header:
-                raise ValueError(f"{path!r} is not a FITS file")
+                raise ValueError(f"{name!r} is not a FITS file")
             first = False
             xt = str(header.get("XTENSION", "")).strip().upper()
             naxis = int(header.get("NAXIS", 0))

@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import math
 import os
+import re
 import time
 from typing import Callable, Dict, Optional
 
@@ -37,6 +38,17 @@ logger = get_logger("wcs.astrometry")
 Transport = Callable[..., Optional[Dict[str, float]]]
 
 DEFAULT_TIMEOUT = 180.0  # reference core/ApAstrometry.py:380
+
+
+class SolveTimeout(Exception):
+    """A solve submission timed out; carries the submission id so the
+    caller can monitor the SAME submission once more (the reference's
+    resubmission-retry behavior, core/ApAstrometry.py:411-425 — the
+    astroquery TimeoutError's args[1])."""
+
+    def __init__(self, submission_id=None):
+        super().__init__(f"solve timed out (submission {submission_id})")
+        self.submission_id = submission_id
 
 
 def generate_hints(
@@ -115,19 +127,28 @@ def _multipart_body(fields: Dict[str, str], file_field: str,
     return bytes(buf), f"multipart/form-data; boundary={boundary}"
 
 
-def nova_transport(api_key: str) -> Transport:
+def nova_transport(api_key: str, use_sip: bool = False) -> Transport:
     """Real nova.astrometry.net transport (network).
 
     Implements the same protocol astroquery's ``solve_from_source_list``
     uses on behalf of the reference (core/ApAstrometry.py:398-409):
     login via request-json form post, then a multipart ``api/upload``
     whose file part is the source list as a FITS xylist binary table
-    (nova has no JSON xylist endpoint), then submission/job polling and
-    a final ``jobs/<id>/calibration`` fetch.  Constructed lazily so
-    offline use never imports urllib.
+    (nova has no JSON xylist endpoint), then submission/job polling.
+    On success the solver's ACTUAL ``wcs_file`` is downloaded and its
+    full WCS (CD matrix + SIP distortion) extracted with the in-repo
+    FITS codec; the coarser calibration-summary TAN reconstruction is
+    only a fallback if that download fails.  ``use_sip`` requests a SIP
+    distortion polynomial of order 2 (``tweak_order``), matching the
+    reference's --use-sip (core/ApAstrometry.py:382-386).  A timeout
+    raises :class:`SolveTimeout` carrying the submission id; calling
+    again with ``submission_id=<id>`` monitors the SAME submission
+    instead of re-uploading.  Constructed lazily so offline use never
+    imports urllib.
     """
 
-    def solve(x, y, width, height, hints, timeout=DEFAULT_TIMEOUT):
+    def solve(x, y, width, height, hints, timeout=DEFAULT_TIMEOUT,
+              submission_id=None):
         import json
         import urllib.parse
         import urllib.request
@@ -145,29 +166,35 @@ def nova_transport(api_key: str) -> Transport:
             with urllib.request.urlopen(base + path, timeout=30) as resp:
                 return json.loads(resp.read())
 
-        login = post_json("login", {"apikey": api_key})
-        if login.get("status") != "success":
-            raise RuntimeError(f"astrometry.net login failed: {login}")
-        session = login["session"]
-        upload_args = {
-            "session": session,
-            "image_width": int(width),
-            "image_height": int(height),
-            "parity": 2,            # reference core/ApAstrometry.py:401
-            "crpix_center": True,
-            **hints,
-        }
-        body, content_type = _multipart_body(
-            {"request-json": json.dumps(upload_args)},
-            "file", "sources.xyls", xylist_fits_bytes(x, y))
-        req = urllib.request.Request(
-            base + "upload", data=body,
-            headers={"Content-Type": content_type})
-        with urllib.request.urlopen(req, timeout=60) as resp:
-            sub = json.loads(resp.read())
-        if sub.get("status") != "success":
-            raise RuntimeError(f"astrometry.net upload failed: {sub}")
-        subid = sub["subid"]
+        if submission_id is None:
+            login = post_json("login", {"apikey": api_key})
+            if login.get("status") != "success":
+                raise RuntimeError(f"astrometry.net login failed: {login}")
+            session = login["session"]
+            upload_args = {
+                "session": session,
+                "image_width": int(width),
+                "image_height": int(height),
+                "parity": 2,        # reference core/ApAstrometry.py:401
+                "positional_error": 10,
+                "crpix_center": True,
+                "publicly_visible": "n",
+                "tweak_order": 2 if use_sip else 0,
+                **hints,
+            }
+            body, content_type = _multipart_body(
+                {"request-json": json.dumps(upload_args)},
+                "file", "sources.xyls", xylist_fits_bytes(x, y))
+            req = urllib.request.Request(
+                base + "upload", data=body,
+                headers={"Content-Type": content_type})
+            with urllib.request.urlopen(req, timeout=60) as resp:
+                sub = json.loads(resp.read())
+            if sub.get("status") != "success":
+                raise RuntimeError(f"astrometry.net upload failed: {sub}")
+            subid = sub["subid"]
+        else:
+            subid = submission_id
         t0 = time.time()
         while time.time() - t0 < timeout:
             status = get(f"submissions/{subid}")
@@ -175,14 +202,43 @@ def nova_transport(api_key: str) -> Transport:
             for job in jobs:
                 jstat = get(f"jobs/{job}")
                 if jstat.get("status") == "success":
-                    cal = get(f"jobs/{job}/calibration")
-                    return _calibration_to_wcs(cal, width, height)
+                    try:
+                        # the solver's real WCS header (full CD + SIP),
+                        # served outside the /api/ prefix
+                        url = base[: -len("api/")] + f"wcs_file/{job}"
+                        with urllib.request.urlopen(url, timeout=60) as r:
+                            blob = r.read()
+                        return wcs_keys_from_wcs_file(blob)
+                    except Exception as exc:  # pragma: no cover - network
+                        logger.warning(
+                            f"wcs_file download failed ({exc}); falling "
+                            "back to the calibration-summary TAN")
+                        cal = get(f"jobs/{job}/calibration")
+                        return _calibration_to_wcs(cal, width, height)
                 if jstat.get("status") == "failure":
                     return None
             time.sleep(5)
-        return None
+        raise SolveTimeout(subid)
 
     return solve
+
+
+#: header keywords lifted verbatim from a downloaded wcs_file: the core
+#: TAN solution plus the full SIP forward/inverse polynomials
+_WCS_FILE_KEY = re.compile(
+    r"^(CTYPE[12]|CRVAL[12]|CRPIX[12]|CD[12]_[12]|CDELT[12]|CUNIT[12]|"
+    r"EQUINOX|LONPOLE|LATPOLE|(A|B|AP|BP)_ORDER|(A|B|AP|BP)_[0-9]+_[0-9]+)$")
+
+
+def wcs_keys_from_wcs_file(blob: bytes) -> Dict[str, float]:
+    """WCS keyword dict from an astrometry.net ``wcs_file`` download —
+    the solver's actual TAN(+SIP) solution, parsed with the in-repo
+    FITS codec (the reference receives the same header via astroquery,
+    core/ApAstrometry.py:398-409)."""
+    from ..io.fits import open_fits_bytes
+
+    hdr = open_fits_bytes(blob)[0].header
+    return {k: v for k, v in hdr.items() if _WCS_FILE_KEY.match(k)}
 
 
 def _calibration_to_wcs(cal: Dict, width: int, height: int) -> Dict[str, float]:
@@ -201,13 +257,6 @@ def _calibration_to_wcs(cal: Dict, width: int, height: int) -> Dict[str, float]:
         "CD2_1": cd[1, 0], "CD2_2": cd[1, 1],
         "CTYPE1": "RA---TAN", "CTYPE2": "DEC--TAN",
     }
-
-
-#: WCS keywords copied to the output image, everything else preserved
-#: (reference _write_fits_image excludes structural keys, :505-506)
-_WCS_KEYS = ("CTYPE1", "CTYPE2", "CRVAL1", "CRVAL2", "CRPIX1", "CRPIX2",
-             "CD1_1", "CD1_2", "CD2_1", "CD2_2", "CUNIT1", "CUNIT2",
-             "EQUINOX", "A_ORDER", "B_ORDER")
 
 
 class Astrometry:
@@ -252,7 +301,35 @@ class Astrometry:
             raise RuntimeError(
                 "No astrometry transport configured; use "
                 "nova_transport(api_key) or the local registration path")
-        wcs_keys = self._transport(x, y, w, h, hints, timeout=timeout)
+        # timeout-resubmission retry (reference core/ApAstrometry.py:
+        # 411-425): a first timeout keeps the submission alive and
+        # monitors IT once more instead of re-uploading; a second
+        # timeout gives up
+        wcs_keys = None
+        submission_id = None
+        try_again = True
+        while try_again:
+            try:
+                if submission_id is None:
+                    wcs_keys = self._transport(x, y, w, h, hints,
+                                               timeout=timeout)
+                else:
+                    try_again = False
+                    wcs_keys = self._transport(
+                        x, y, w, h, hints, timeout=timeout,
+                        submission_id=submission_id)
+            except SolveTimeout as exc:
+                if try_again and submission_id is None \
+                        and exc.submission_id is not None:
+                    logger.warning(
+                        f"Solve (submission {exc.submission_id}) timed "
+                        f"out after {timeout} s; monitoring it once more")
+                    submission_id = exc.submission_id
+                else:
+                    logger.error("Plate solve timed out twice")
+                    return None
+            else:
+                try_again = False
         if wcs_keys is None:
             logger.error("Plate solve failed")
             return None

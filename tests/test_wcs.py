@@ -264,3 +264,113 @@ def test_solve_from_reference_carries_sip():
     # TAN-only reference stays TAN (no spurious SIP terms)
     plain = solve_from_reference(_example_wcs(False), sim)
     assert not plain.sip_a and not plain.sip_b
+
+
+def _src_and_img(tmp_path, shape=(1536, 2048), n=25, seed=3):
+    from astrophotography_tpu.io.fits import (BinTableHDU, HDUList,
+                                              ImageHDU, write_image)
+
+    rng = np.random.default_rng(seed)
+    x = rng.uniform(50, shape[1] - 50, n)
+    y = rng.uniform(50, shape[0] - 50, n)
+    img_path = str(tmp_path / "img.fits")
+    write_image(img_path, np.zeros(shape, np.float32))
+    src_hdr = Header()
+    src_hdr["IMG_FILE"] = "img.fits"
+    src_hdr["APRX_RA"] = 123.4
+    src_hdr["APRX_DEC"] = -45.7
+    src_hdr["APRX_XPS"] = 0.54
+    src_hdr["APRX_YPS"] = 0.54
+    src_path = str(tmp_path / "src.fits")
+    HDUList([ImageHDU(None, src_hdr),
+             BinTableHDU({"X": x, "Y": y}, name="AP_XYPOS")]).writeto(src_path)
+    return img_path, src_path, x, y
+
+
+def test_wcs_file_keys_extraction():
+    """wcs_keys_from_wcs_file lifts the full TAN+SIP solution from a
+    solver wcs_file and drops structural/irrelevant keys (the
+    reference receives the same header via astroquery,
+    core/ApAstrometry.py:398-409)."""
+    from astrophotography_tpu.io.fits import HDUList, ImageHDU
+    from astrophotography_tpu.wcs.astrometry import wcs_keys_from_wcs_file
+
+    truth = _example_wcs(with_sip=True)
+    hdr = truth.to_header()
+    hdr["DATE"] = "2026-01-01"          # structural noise the solver adds
+    hdr["AN_JOBID"] = 12345
+    blob = HDUList([ImageHDU(None, hdr)]).tobytes()
+    keys = wcs_keys_from_wcs_file(blob)
+    assert keys["CTYPE1"].startswith("RA---TAN")
+    assert keys["A_ORDER"] == 2 and keys["B_ORDER"] == 2
+    assert "A_2_0" in keys and "B_0_2" in keys
+    assert "DATE" not in keys and "AN_JOBID" not in keys and \
+        "NAXIS" not in keys
+
+
+def test_astrometry_solve_propagates_sip(tmp_path):
+    """A SIP solution from the (mock) wcs_file download survives into
+    the stamped image: A_ORDER/B_ORDER + coefficients present, and
+    pix2world through the stamped header matches the solver's solution
+    including distortion (VERDICT item: full WCS from nova solves)."""
+    from astrophotography_tpu.io.fits import HDUList, ImageHDU, open_fits
+    from astrophotography_tpu.wcs.astrometry import wcs_keys_from_wcs_file
+
+    truth = _example_wcs(with_sip=True)
+    img_path, src_path, x, y = _src_and_img(tmp_path)
+    blob = HDUList([ImageHDU(None, truth.to_header())]).tobytes()
+
+    def mock_transport(xs, ys, w, h, hints, timeout=None):
+        return wcs_keys_from_wcs_file(blob)
+
+    ast = Astrometry(transport=mock_transport)
+    out_path = str(tmp_path / "wcs.fits")
+    wcs = ast.solve(img_path, src_path, out_path)
+    assert wcs is not None
+    hdr = open_fits(out_path)[0].header
+    assert hdr["A_ORDER"] == 2 and hdr["B_ORDER"] == 2
+    assert hdr["A_2_0"] == pytest.approx(1e-7)
+    assert hdr["CTYPE1"] == "RA---TAN-SIP"
+    stamped = TanWCS.from_header(hdr)
+    gx, gy = np.meshgrid(np.linspace(1, 2048, 7), np.linspace(1, 1536, 7))
+    ra_t, dec_t = truth.pix2world(gx.ravel(), gy.ravel())
+    ra_s, dec_s = stamped.pix2world(gx.ravel(), gy.ravel())
+    np.testing.assert_allclose(ra_s, ra_t, atol=1e-9)
+    np.testing.assert_allclose(dec_s, dec_t, atol=1e-9)
+    # distortion actually matters at this level: a pure-TAN header from
+    # the same CD would disagree by the SIP terms
+    pure = TanWCS(truth.crval, truth.crpix, truth.cd)
+    ra_p, _ = pure.pix2world(gx.ravel(), gy.ravel())
+    assert np.abs(ra_p - ra_t).max() > 1e-6
+
+
+def test_astrometry_timeout_monitors_same_submission(tmp_path):
+    """First timeout -> the solve monitors the SAME submission id once
+    more (reference core/ApAstrometry.py:411-425); a second timeout
+    gives up with None."""
+    from astrophotography_tpu.wcs.astrometry import SolveTimeout
+
+    truth = _example_wcs()
+    img_path, src_path, _x, _y = _src_and_img(tmp_path)
+    calls = []
+
+    def timeout_once(xs, ys, w, h, hints, timeout=None, submission_id=None):
+        calls.append(submission_id)
+        if submission_id is None:
+            raise SolveTimeout(4242)
+        assert submission_id == 4242
+        return {k: v for k, v in truth.to_header().items()}
+
+    ast = Astrometry(transport=timeout_once)
+    out_path = str(tmp_path / "wcs.fits")
+    wcs = ast.solve(img_path, src_path, out_path)
+    assert wcs is not None
+    assert calls == [None, 4242]
+
+    def timeout_always(xs, ys, w, h, hints, timeout=None,
+                       submission_id=None):
+        raise SolveTimeout(777)
+
+    ast2 = Astrometry(transport=timeout_always)
+    assert ast2.solve(img_path, src_path,
+                      str(tmp_path / "wcs2.fits")) is None
