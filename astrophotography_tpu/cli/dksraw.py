@@ -45,9 +45,10 @@ def _add_wb(p: argparse.ArgumentParser) -> None:
     p.add_argument("-s", "--printstats", action="store_true",
                    help="log image statistics")
     p.add_argument("-d", "--demosaic", default="mhc",
-                   choices=["mhc", "bilinear"],
+                   choices=["mhc", "bilinear", "ahd"],
                    help="demosaic algorithm (mhc = gradient-corrected "
-                        "Malvar-He-Cutler, default)")
+                        "Malvar-He-Cutler, default; ahd = adaptive "
+                        "homogeneity-directed, the LibRaw-parity option)")
 
 
 def _args(argv: Optional[List[str]]) -> argparse.Namespace:

@@ -30,6 +30,7 @@ from .psf import (
     nearest_neighbor_dist,
 )
 from .demosaic import (
+    demosaic_ahd,
     demosaic_bilinear,
     demosaic_mhc,
     raw_to_rgb,
@@ -54,6 +55,7 @@ __all__ = [
     "auto_badcols",
     "sigma_clip_combine",
     "imarith",
+    "demosaic_ahd",
     "demosaic_bilinear",
     "demosaic_mhc",
     "raw_to_rgb",

@@ -21,6 +21,10 @@ Demosaic algorithms:
   control flow.
 * ``bilinear`` — mask-normalized bilinear interpolation, pattern
   agnostic; kept as the fallback for exotic CFA layouts.
+* ``ahd`` — adaptive homogeneity-directed (Hirakawa & Parks 2005), the
+  algorithm LibRaw itself runs for the reference's postprocess call;
+  directional interpolation + homogeneity selection, for
+  parity-critical use (~4x the cost of mhc).
 
 Both formulations only need the per-pixel color map (the analogue of
 rawpy's ``raw_colors_visible``); MHC additionally derives the site
@@ -170,7 +174,106 @@ def demosaic_mhc(values: jnp.ndarray, color_map: jnp.ndarray) -> jnp.ndarray:
     return jnp.stack([red, green, blue], axis=-1)
 
 
-_DEMOSAIC_FUNCS = {"mhc": demosaic_mhc, "bilinear": demosaic_bilinear}
+def _shift(x: jnp.ndarray, dy: int, dx: int) -> jnp.ndarray:
+    """x translated by (dy, dx), wrap-padded (no gathers).
+
+    Wrap keeps the Bayer COLOR PHASE intact at the borders (H, W are
+    even for every CFA): an edge-replicated pad would feed wrong-color
+    samples into the directional filters, corrupting the outermost two
+    columns/rows far worse than the spatially-wrong-but-right-color
+    wrap samples do."""
+    h, w = x.shape[:2]
+    pw = [(max(dy, 0), max(-dy, 0)), (max(dx, 0), max(-dx, 0))] \
+        + [(0, 0)] * (x.ndim - 2)
+    padded = jnp.pad(x, pw, mode="wrap")
+    return padded[max(-dy, 0):max(-dy, 0) + h, max(-dx, 0):max(-dx, 0) + w]
+
+
+@jax.jit
+def demosaic_ahd(values: jnp.ndarray, color_map: jnp.ndarray) -> jnp.ndarray:
+    """Adaptive Homogeneity-Directed demosaic (Hirakawa & Parks 2005):
+    (H, W) CFA sites -> (H, W, 3) RGB.
+
+    The algorithm LibRaw runs for the reference's ``postprocess`` call
+    (core/RawConv.py:453-455, dcraw ahd_interpolate): green is
+    interpolated twice (horizontal and vertical directional filters
+    with Laplacian correction), chroma rides the interpolated
+    color-difference planes, and each pixel picks the direction whose
+    3x3-smoothed homogeneity (neighbors within adaptive luma/chroma
+    tolerance) is higher — averaging where tied.  This build scores
+    homogeneity in luma/color-difference space rather than CIELab
+    (monotone in the same differences; saves the per-pixel cube roots)
+    and is pattern-generic via the color map.  Pure stencils and
+    selects — no data-dependent control flow, so XLA fuses the whole
+    thing; ~4x the cost of ``mhc``, for parity-critical use.
+    """
+    v = values.astype(jnp.float32)
+    site_r = color_map == R
+    site_b = color_map == B
+    site_g = (color_map == G1) | (color_map == G2)
+
+    # directional green at non-green sites: average of the two in-line
+    # greens plus a half Laplacian of the same-color in-line samples
+    gh = 0.5 * (_shift(v, 0, -1) + _shift(v, 0, 1)) \
+        + 0.25 * (2.0 * v - _shift(v, 0, -2) - _shift(v, 0, 2))
+    gv = 0.5 * (_shift(v, -1, 0) + _shift(v, 1, 0)) \
+        + 0.25 * (2.0 * v - _shift(v, -2, 0) - _shift(v, 2, 0))
+    greens = [jnp.where(site_g, v, gh), jnp.where(site_g, v, gv)]
+
+    cands = []
+    for g in greens:
+        # chroma via mask-normalized bilinear of the color DIFFERENCE
+        # planes (R-G, B-G known at their sites), then add green back
+        planes = [g]
+        for site in (site_r, site_b):
+            sitef = site.astype(jnp.float32)
+            diff = jnp.where(site, v - g, 0.0)
+            num = _conv3x3_sum(diff, _BILINEAR_KERNEL)
+            den = _conv3x3_sum(sitef, _BILINEAR_KERNEL)
+            plane = g + num / jnp.maximum(den, 1e-12)
+            planes.append(jnp.where(site, v, plane))
+        cands.append(jnp.stack([planes[1], planes[0], planes[2]], axis=-1))
+
+    # homogeneity maps: neighbors within adaptive luma/chroma tolerance
+    def luma_chroma(c):
+        lum = 0.25 * (c[..., 0] + 2.0 * c[..., 1] + c[..., 2])
+        return lum, c[..., 0] - c[..., 1], c[..., 2] - c[..., 1]
+
+    lh, uh, wh_ = luma_chroma(cands[0])
+    lv, uv, wv = luma_chroma(cands[1])
+    nbrs = ((0, -1), (0, 1), (-1, 0), (1, 0))
+
+    def diffs(lum, u, w):
+        dl = [jnp.abs(lum - _shift(lum, dy, dx)) for dy, dx in nbrs]
+        dc = [(u - _shift(u, dy, dx)) ** 2 + (w - _shift(w, dy, dx)) ** 2
+              for dy, dx in nbrs]
+        return dl, dc
+
+    dlh, dch = diffs(lh, uh, wh_)
+    dlv, dcv = diffs(lv, uv, wv)
+    # adaptive tolerance: the smaller of each direction's own in-line
+    # neighbor spread (dcraw ahd epsilon)
+    eps_l = jnp.minimum(jnp.maximum(dlh[0], dlh[1]),
+                        jnp.maximum(dlv[2], dlv[3]))
+    eps_c = jnp.minimum(jnp.maximum(dch[0], dch[1]),
+                        jnp.maximum(dcv[2], dcv[3]))
+    hom_h = functools.reduce(jnp.add, [
+        ((dl <= eps_l) & (dc <= eps_c)).astype(jnp.float32)
+        for dl, dc in zip(dlh, dch)])
+    hom_v = functools.reduce(jnp.add, [
+        ((dl <= eps_l) & (dc <= eps_c)).astype(jnp.float32)
+        for dl, dc in zip(dlv, dcv)])
+    box = ((1.0, 1.0, 1.0), (1.0, 1.0, 1.0), (1.0, 1.0, 1.0))
+    sh = _conv3x3_sum(hom_h, box)
+    sv = _conv3x3_sum(hom_v, box)
+    pick_h = (sh > sv)[..., None]
+    pick_v = (sv > sh)[..., None]
+    blend = 0.5 * (cands[0] + cands[1])
+    return jnp.where(pick_h, cands[0], jnp.where(pick_v, cands[1], blend))
+
+
+_DEMOSAIC_FUNCS = {"mhc": demosaic_mhc, "bilinear": demosaic_bilinear,
+                   "ahd": demosaic_ahd}
 
 
 def safe_subtract_black(

@@ -334,6 +334,17 @@ def _make_kernel(n, th, tw, span, h_in, w_in, vb, oy, ox,
                 [v_.astype(jnp.float32) for v_ in valid])
             counti = count.astype(jnp.int32)
 
+            if combine == "mean":
+                # plain coverage-weighted mean, no clipping: skips both
+                # Batcher sorts entirely (ccdproc method='average' with
+                # sigma_clip=False)
+                accm = jnp.zeros((th, tw), jnp.float32)
+                for fr, v_ in zip(frames, valid):
+                    accm = accm + jnp.where(v_, fr, 0.0)
+                out_ref[:, :] = jnp.where(
+                    counti > 0, accm / jnp.maximum(count, 1.0), 0.0)
+                return
+
             srt = list(frames)
             for a, b in _batcher_pairs(n):
                 lo = jnp.minimum(srt[a], srt[b])
@@ -462,7 +473,7 @@ def pallas_warp_combine(
                                    snap_tol=snap_tol, v_bounds=v_bounds,
                                    snap_geom=snap_geom,
                                    interpret=True)
-    if combine not in ("average", "median", "sum"):
+    if combine not in ("average", "median", "sum", "mean"):
         raise ValueError(f"unknown combine '{combine}'")
     n, h0, w0 = cal.shape
     if tile is None:

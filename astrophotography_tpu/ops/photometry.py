@@ -42,7 +42,46 @@ def aperture_radii(fwhm: float, ap_fwhm_mult: float = 2.0):
     return r_ap, math.ceil(1.5 * r_ap)
 
 
-@functools.partial(jax.jit, static_argnames=("r_ap", "r_out"))
+def _disk_quadrant_area(x, y, r):
+    """Area of {X <= x, Y <= y, X^2 + Y^2 <= r^2} for a disk of radius
+    ``r`` centered at the origin (closed form; elementwise).
+
+    Building block of the EXACT circle/pixel overlap: the disk-pixel
+    intersection area is the 2-D inclusion-exclusion of this quadrant
+    integral over the pixel corners (photutils' exact mode computes the
+    same geometry by polygon clipping)."""
+    r = jnp.float32(r)
+    xh = jnp.clip(x, -r, r)
+    yh = jnp.clip(y, -r, r)
+
+    def seg(a, b):
+        # integral of sqrt(r^2 - X^2) dX over [a, b] (a, b in [-r, r])
+        def anti(u):
+            s = jnp.sqrt(jnp.maximum(r * r - u * u, 0.0))
+            return 0.5 * (u * s + r * r * jnp.arcsin(
+                jnp.clip(u / r, -1.0, 1.0)))
+        b = jnp.maximum(b, a)
+        return anti(b) - anti(a)
+
+    t = jnp.sqrt(jnp.maximum(r * r - yh * yh, 0.0))
+    # integral of clamp(yh, -s(X), s(X)) over [-r, xh]: the |X| > t
+    # flanks contribute sign(yh) * s(X), the middle contributes yh
+    sgn = jnp.sign(yh)
+    c = (sgn * seg(-r, jnp.minimum(xh, -t))
+         + yh * jnp.maximum(jnp.minimum(xh, t) + t, 0.0)
+         + sgn * seg(t, jnp.maximum(xh, t)))
+    return c + seg(-r, xh)
+
+
+def _exact_cover(dx, dy, r):
+    """Exact disk/pixel overlap area for pixels centered at (dx, dy)."""
+    f = _disk_quadrant_area
+    return (f(dx + 0.5, dy + 0.5, r) - f(dx - 0.5, dy + 0.5, r)
+            - f(dx + 0.5, dy - 0.5, r) + f(dx - 0.5, dy - 0.5, r))
+
+
+@functools.partial(jax.jit, static_argnames=("r_ap", "r_out",
+                                             "edge_method"))
 def aperture_photometry(
     data: jnp.ndarray,
     x: jnp.ndarray,
@@ -51,12 +90,19 @@ def aperture_photometry(
     r_ap: int,
     r_out: int,
     exposure: float = 1.0,
+    edge_method: str = "exact",
 ) -> Photometry:
     """Photometer all stars at (x, y) in one vectorized pass.
 
     ``data`` is the NON-background-subtracted image (the reference
     photometers self._data and subtracts the annulus median,
     core/ApFindStars.py:385-400).
+
+    ``edge_method``: 'exact' (default) uses the closed-form circle/
+    pixel overlap area — photutils' exact mode, matching the reference
+    photometry to machine precision; 'ramp' is the cheaper +-0.5 px
+    linear-edge approximation (<= 0.5 % flux error, see
+    tests/test_accuracy_bounds.py).
     """
     data = data.astype(jnp.float32)
     h, w = data.shape
@@ -73,8 +119,11 @@ def aperture_photometry(
         dy = ys[:, None] + iy.astype(jnp.float32) - cy
         dx = xs[None, :] + ix.astype(jnp.float32) - cx
         dist = jnp.sqrt(dy * dy + dx * dx)
-        # anti-aliased aperture coverage: 1 inside, 0 outside, linear edge
-        cover = jnp.clip(r_ap + 0.5 - dist, 0.0, 1.0)
+        if edge_method == "exact":
+            cover = _exact_cover(dx, dy, r_ap)
+        else:
+            # anti-aliased coverage: 1 inside, 0 outside, linear edge
+            cover = jnp.clip(r_ap + 0.5 - dist, 0.0, 1.0)
         ap_sum = jnp.sum(cut * cover)
         # annulus ring, pixel-center test (photutils method='center',
         # core/ApFindStars.py:295-296)

@@ -141,4 +141,33 @@ def test_aperture_sum_matches_exact_overlap():
     cover = inside.mean(axis=(2, 3))
     golden = float(np.sum(img.astype(np.float64) * cover))
 
-    assert abs(got - golden) / golden < 0.005, (got, golden)
+    # default edge_method='exact': closed-form overlap, limited only by
+    # the 32x supersampling of the golden itself
+    assert abs(got - golden) / golden < 1e-3, (got, golden)
+
+    # the cheap ramp mode keeps its documented 0.5% bound
+    ramp = aperture_photometry(jnp.asarray(img), jnp.asarray([cx]),
+                               jnp.asarray([cy]), jnp.asarray([True]),
+                               r_ap, 9, exposure=1.0, edge_method="ramp")
+    got_r = float(np.asarray(ramp.aperture_sum)[0])
+    assert abs(got_r - golden) / golden < 0.005, (got_r, golden)
+
+
+def test_aperture_exact_matches_analytic_gaussian():
+    """Exact-overlap photometry of a synthetic Gaussian matches the
+    ANALYTIC enclosed flux F * (1 - exp(-r^2 / 2 sigma^2)) to < 0.1%
+    (VERDICT round 2 item 6)."""
+    h = w = 64
+    cx, cy = 31.43, 30.77
+    fwhm = 3.0
+    sigma = fwhm / 2.35482
+    flux = 40000.0
+    r_ap = 6
+    img = synth.gaussian_star((h, w), cx, cy, flux, fwhm) \
+        .astype(np.float32)
+    phot = aperture_photometry(jnp.asarray(img), jnp.asarray([cx]),
+                               jnp.asarray([cy]), jnp.asarray([True]),
+                               r_ap, 9, exposure=1.0)
+    got = float(np.asarray(phot.aperture_sum)[0])
+    analytic = flux * (1.0 - np.exp(-r_ap ** 2 / (2 * sigma ** 2)))
+    assert abs(got - analytic) / analytic < 1e-3, (got, analytic)

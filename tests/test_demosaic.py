@@ -301,3 +301,75 @@ def test_mhc_demosaic_random_mosaics_fuzz():
         assert np.median(err) < 2.0, (trial, float(np.median(err)))
         assert np.percentile(err, 99) < 15.0, (trial,
                                                float(np.percentile(err, 99)))
+
+
+def test_demosaic_ahd_preserves_sites_and_flat():
+    """AHD keeps measured samples exactly and is exact on flat fields,
+    for every Bayer phase."""
+    from astrophotography_tpu.ops import demosaic_ahd
+
+    rng = np.random.default_rng(5)
+    for pattern in (np.array([[0, 1], [3, 2]], np.uint8),   # RGGB
+                    np.array([[2, 1], [3, 0]], np.uint8),   # BGGR
+                    np.array([[1, 0], [2, 3]], np.uint8),   # GRBG
+                    np.array([[1, 2], [0, 3]], np.uint8)):  # GBRG
+        cmap = synth.bayer_color_map((16, 16), pattern=pattern)
+        mosaic = rng.integers(100, 50000, (16, 16)).astype(np.float32)
+        rgb = np.asarray(demosaic_ahd(mosaic, cmap))
+        for color, chan in ((0, 0), (1, 1), (3, 1), (2, 2)):
+            sites = np.asarray(cmap == color)
+            np.testing.assert_allclose(rgb[..., chan][sites],
+                                       mosaic[sites], rtol=1e-5)
+        flat, fmap = _flat_mosaic()
+        rgbf = np.asarray(demosaic_ahd(flat.astype(np.float32), fmap))
+        np.testing.assert_allclose(rgbf[2:-2, 2:-2, 0], 1000, rtol=1e-4)
+        np.testing.assert_allclose(rgbf[2:-2, 2:-2, 1], 2000, rtol=1e-4)
+        np.testing.assert_allclose(rgbf[2:-2, 2:-2, 2], 3000, rtol=1e-4)
+
+
+def test_demosaic_ahd_statistical_parity_with_mhc():
+    """AHD tracks MHC statistically on smooth synthetic scenes (both
+    are LibRaw-parity-grade; VERDICT round 2 item 5): mean abs error
+    within 1.5x of MHC's, and far below bilinear on directional
+    detail."""
+    from astrophotography_tpu.ops import demosaic_ahd, demosaic_mhc
+
+    scene = np.asarray(synth.make_rgb_scene((64, 64), seed=11,
+                                            peak=40000), np.float64)
+    mosaic = synth.mosaic_from_rgb(scene, black_levels=(0, 0, 0, 0))
+    cmap = synth.bayer_color_map((64, 64))
+    f = mosaic.astype(np.float32)
+    sl = (slice(4, -4), slice(4, -4))
+    err_ahd = np.abs(np.asarray(demosaic_ahd(f, cmap))[sl] - scene[sl])
+    err_mhc = np.abs(np.asarray(demosaic_mhc(f, cmap))[sl] - scene[sl])
+    assert err_ahd.mean() < 1.5 * err_mhc.mean() + 1.0
+
+
+def test_demosaic_ahd_beats_bilinear_on_directional_edges():
+    """The homogeneity-directed selection must excel exactly where
+    directional interpolation matters: strong vertical and horizontal
+    edges (the zipper-artifact case AHD exists for)."""
+    from astrophotography_tpu.ops import demosaic_ahd
+
+    h, w = 64, 64
+    xx = np.mgrid[0:h, 0:w][1]
+    # vertical square wave: 8-px bars
+    bars = np.where((xx // 8) % 2 == 0, 30000.0, 5000.0)
+    scene = np.stack([bars] * 3, axis=-1)
+    cmap = synth.bayer_color_map((h, w))
+    mosaic = synth.mosaic_from_rgb(scene, black_levels=(0, 0, 0, 0))
+    f = mosaic.astype(np.float32)
+    sl = (slice(4, -4), slice(4, -4))
+    err_ahd = np.abs(np.asarray(demosaic_ahd(f, cmap))[sl] - scene[sl])
+    err_bil = np.abs(np.asarray(demosaic_bilinear(f, cmap))[sl] - scene[sl])
+    assert err_ahd.mean() < 0.35 * err_bil.mean()
+
+
+def test_raw_to_rgb_ahd_selectable():
+    from astrophotography_tpu.ops.demosaic import raw_to_rgb
+
+    mosaic, cmap = _flat_mosaic()
+    blacks = np.zeros(4, np.float32)
+    wb = np.ones(4, np.float32)
+    out = np.asarray(raw_to_rgb(mosaic, cmap, blacks, wb, algorithm="ahd"))
+    assert out.shape == (16, 16, 3)
