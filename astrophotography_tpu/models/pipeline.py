@@ -87,6 +87,11 @@ class PipelineConfig:
     #: fused warp+combine kernel tile (rows, cols); None = auto-size
     #: the tile height to the frame count (VMEM/compile ceiling)
     fused_tile: "tuple | None" = None
+    #: detection-threshold noise center: 'mean' (3-iter clipped mean,
+    #: sort-free; tracks the median to <0.06 sigma, bounded in tests) or
+    #: 'median' (exact sigma_clipped_stats semantics, reference
+    #: ApFindStars.py:142-154)
+    noise_center: str = "mean"
     #: fused-kernel apron: True pads the source stack with a zero apron
     #: (simple, one extra stack copy); False streams tiles straight from
     #: the unpadded stack (memory-critical 100x16-Mpix runs) at the cost
@@ -94,26 +99,40 @@ class PipelineConfig:
     fused_apron: bool = True
 
 
-@jax.jit
-def frame_noise_stats(frames: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Cheap per-frame (median-ish center, robust std) for detection
-    thresholds: 3 iterations of mean/std clipping on an 8x row-subsampled
-    grid — avoids full-frame sorts in the hot path.  Rows only: a
-    lane-axis (column) stride reads ~10x slower than contiguous lanes
-    on TPU, so every 8th FULL row is both cheaper and a larger sample
-    than the ::4,::4 grid it replaces."""
+@functools.partial(jax.jit, static_argnames=("center",))
+def frame_noise_stats(frames: jnp.ndarray,
+                      center: str = "mean") -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-frame (center, robust std) for detection thresholds, on an
+    8x row-subsampled grid.  Rows only: a lane-axis (column) stride
+    reads ~10x slower than contiguous lanes on TPU, so every 8th FULL
+    row is both cheaper and a larger sample than the ::4,::4 grid it
+    replaces.
+
+    ``center='mean'`` (default): 3 iterations of mean/std clipping — no
+    sorts in the hot path; the clipped mean tracks the median to
+    <0.06 sigma even on unrealistically dense star fields (bounded in
+    tests/test_accuracy_bounds.py).  ``center='median'``: exact
+    sigma_clipped_stats median/std semantics (the reference's
+    ApFindStars.py:142-154), one full sort of the subsample per frame.
+    """
     sub = frames[:, ::8, :].reshape(frames.shape[0], -1)
+    if center == "median":
+        from ..ops.stats import sigma_clipped_stats
+
+        _mean_unused, med, std = sigma_clipped_stats(
+            sub, sigma=3.0, maxiters=3, axis=1)
+        return med, std
     keep = jnp.ones_like(sub, bool)
-    center = jnp.mean(sub, axis=1)
+    cen = jnp.mean(sub, axis=1)
     std = jnp.std(sub, axis=1)
     for _ in range(3):
-        center = jnp.sum(jnp.where(keep, sub, 0), axis=1) \
+        cen = jnp.sum(jnp.where(keep, sub, 0), axis=1) \
             / jnp.maximum(jnp.sum(keep, axis=1), 1)
-        var = jnp.sum(jnp.where(keep, (sub - center[:, None]) ** 2, 0), axis=1) \
+        var = jnp.sum(jnp.where(keep, (sub - cen[:, None]) ** 2, 0), axis=1) \
             / jnp.maximum(jnp.sum(keep, axis=1), 1)
         std = jnp.sqrt(var)
-        keep = keep & (jnp.abs(sub - center[:, None]) < 3.0 * std[:, None])
-    return center, std
+        keep = keep & (jnp.abs(sub - cen[:, None]) < 3.0 * std[:, None])
+    return cen, std
 
 
 def _ref_index(stars, config: PipelineConfig):
@@ -168,7 +187,7 @@ def register_frames(
 
     Returns (stars, sims, matrices (N, 2, 3), ref_idx)."""
     n = cal.shape[0]
-    center, std = frame_noise_stats(cal)
+    center, std = frame_noise_stats(cal, center=config.noise_center)
 
     def detect(frame, c, s):
         return find_stars(frame - c, fwhm=config.fwhm,
@@ -378,7 +397,7 @@ def calibrate_register_stack_lean(
         calc = calibrate_batch(chunk, bias, dark, flat,
                                exp_ratios[k:k + c],
                                dark_still_biased=config.dark_still_biased)
-        ce, s = frame_noise_stats(calc)
+        ce, s = frame_noise_stats(calc, center=config.noise_center)
         part = jax.vmap(detect)(calc, ce, s)
         # raw value as the token (a zero-multiplied one gets folded away)
         token = jax.lax.optimization_barrier(part.x[0, 0])

@@ -42,6 +42,29 @@ from .pallas_combine import _batcher_pairs
 _MAD_TO_STD = 1.482602218505602
 
 
+def _bitonic_merge_pairs(n: int):
+    """Compare-exchange pairs of Batcher's bitonic MERGER for length n.
+
+    Sorts any bitonic sequence (ascending-then-descending or any cyclic
+    rotation — in particular the VALLEY |sorted_k - median| the MAD
+    step produces) in log2(m) stages, ~1/3 the comparators of the full
+    odd-even mergesort.  Conceptually the network runs on m = next
+    power of two with +inf padding at the top; since the padding is
+    maximal and exchanges only push maxima toward higher indices, every
+    pair touching a pad index is a provable no-op and is elided."""
+    m = 1
+    while m < n:
+        m *= 2
+    pairs = []
+    k = m // 2
+    while k >= 1:
+        for i in range(m):
+            if (i & k) == 0 and i + k < n:
+                pairs.append((i, i + k))
+        k //= 2
+    return pairs
+
+
 def _l3(t):
     u = t * t
     acc = jnp.float32(_L3_POLY[-1])
@@ -139,7 +162,8 @@ def _tile_window_origins(mats6, n_ti, n_tj, th, tw, span,
 
 
 def _make_kernel(n, th, tw, span, h_in, w_in, vb, oy, ox,
-                 sigma_lo, sigma_hi, align, combine, has_masters):
+                 sigma_lo, sigma_hi, align, combine, has_masters,
+                 fgroup=1):
     wh = vb * th     # window height
     ww = 3 * tw      # window width
     thp = -(-(th + span) // 8) * 8       # extracted rows (sublane-padded)
@@ -155,11 +179,35 @@ def _make_kernel(n, th, tw, span, h_in, w_in, vb, oy, ox,
         win_ref = refs[n_in + 2]
         i = pl.program_id(0)
         j = pl.program_id(1)
-        f = pl.program_id(2)
+        grp = pl.program_id(2)
 
-        vbase, ubase = _frame_bases(mats_ref, f, i, j, th, tw, span)
         win_y0 = (byp_ref[i, j] - oy) * th
         win_x0 = (bxp_ref[i, j] - ox) * tw
+        # output-pixel coordinates (shared by every frame of the group)
+        rr = jax.lax.broadcasted_iota(jnp.int32, (th, tw), 0) \
+            .astype(jnp.float32)
+        cc = jax.lax.broadcasted_iota(jnp.int32, (th, tw), 1) \
+            .astype(jnp.float32)
+        y_out = i.astype(jnp.float32) * th + rr
+        x_out = j.astype(jnp.float32) * tw + cc
+        # source-row coverage bounds: (2, h_in - 4) standalone; a
+        # row-sharded caller narrows them so taps never reach the
+        # zero-filled halo beyond the global image (parallel/fused.py)
+        vlo = mats_ref[0, 9]
+        vhi = mats_ref[0, 10]
+        big = jnp.float32(3.4e38)
+
+        for g in range(fgroup):
+            _warp_one(mats_ref, blocks, mblocks, rows_ref, win_ref,
+                      i, j, grp * fgroup + g, g, win_y0, win_x0,
+                      rr, cc, y_out, x_out, vlo, vhi, big)
+
+        _run_combine(rows_ref, out_ref, grp, big)
+
+    def _warp_one(mats_ref, blocks, mblocks, rows_ref, win_ref,
+                  i, j, f, g, win_y0, win_x0, rr, cc, y_out, x_out,
+                  vlo, vhi, big):
+        vbase, ubase = _frame_bases(mats_ref, f, i, j, th, tw, span)
         offy = vbase - win_y0
         offx = ubase - win_x0
 
@@ -177,7 +225,7 @@ def _make_kernel(n, th, tw, span, h_in, w_in, vb, oy, ox,
 
         def assemble_row(dy):
             for dx in range(3):
-                raw_blk = blocks[dy * 3 + dx][0]
+                raw_blk = blocks[dy * 3 + dx][g]
                 if raw_blk.dtype == jnp.uint16:
                     # Mosaic lacks a direct u16->f32 cast
                     raw = raw_blk.astype(jnp.int32).astype(jnp.float32)
@@ -246,24 +294,11 @@ def _make_kernel(n, th, tw, span, h_in, w_in, vb, oy, ox,
             p_h = (r_h == c_h + offx).astype(jnp.float32)
             alig = jnp.dot(ext, p_h, preferred_element_type=jnp.float32)
 
-        # output-pixel coordinates + coverage (shared by both tap paths)
-        rr = jax.lax.broadcasted_iota(jnp.int32, (th, tw), 0) \
-            .astype(jnp.float32)
-        cc = jax.lax.broadcasted_iota(jnp.int32, (th, tw), 1) \
-            .astype(jnp.float32)
-        y_out = i.astype(jnp.float32) * th + rr
-        x_out = j.astype(jnp.float32) * tw + cc
         v = m10 * x_out + m11 * y_out + m12
         v_loc = v - vbase.astype(jnp.float32)
         sx = m00 * x_out + m01 * y_out + m02
-        # source-row coverage bounds: (2, h_in - 4) standalone; a
-        # row-sharded caller narrows them so taps never reach the
-        # zero-filled halo beyond the global image (parallel/fused.py)
-        vlo = mats_ref[0, 9]
-        vhi = mats_ref[0, 10]
         cover = ((sx >= 2.0) & (sx <= w_in - 4.0)
                  & (v >= vlo) & (v <= vhi) & base_ok)
-        big = jnp.float32(3.4e38)
 
         @pl.when(is_trans)
         def _taps_translation():
@@ -325,7 +360,8 @@ def _make_kernel(n, th, tw, span, h_in, w_in, vb, oy, ox,
                 safe2, acc2 / jnp.where(safe2, wsum2, 1.0), 0.0)
             rows_ref[f] = jnp.where(cover, warped, big)
 
-        @pl.when(f == n - 1)
+    def _run_combine(rows_ref, out_ref, grp, big):
+        @pl.when(grp == n // fgroup - 1)
         def _():
             frames = [rows_ref[k] for k in range(n)]
             valid = [fr < big * 0.5 for fr in frames]
@@ -359,9 +395,13 @@ def _make_kernel(n, th, tw, span, h_in, w_in, vb, oy, ox,
                 med_hi = jnp.where(hi_idx == k, srt[k], med_hi)
             med = 0.5 * (med_lo + med_hi)
 
-            devs = [jnp.where(v_, jnp.abs(fr - med), big)
-                    for fr, v_ in zip(frames, valid)]
-            for a, b in _batcher_pairs(n):
+            # deviations of the SORTED values form a valley (descending
+            # to the median, then ascending; invalid entries hold the
+            # big sentinel, so their deviations are maximal and already
+            # sit at the tail) — a bitonic sequence, so the cheap merge
+            # network sorts it instead of a second full sort
+            devs = [jnp.abs(s - med) for s in srt]
+            for a, b in _bitonic_merge_pairs(n):
                 lo = jnp.minimum(devs[a], devs[b])
                 hi = jnp.maximum(devs[a], devs[b])
                 devs[a], devs[b] = lo, hi
@@ -409,7 +449,8 @@ def _make_kernel(n, th, tw, span, h_in, w_in, vb, oy, ox,
                    static_argnames=("tile", "span", "sigma_lower",
                                     "sigma_upper", "apron", "align",
                                     "combine", "dither_budget",
-                                    "snap_tol", "interpret"))
+                                    "snap_tol", "frame_group",
+                                    "interpret"))
 def pallas_warp_combine(
     cal: jnp.ndarray,
     matrices: jnp.ndarray,
@@ -427,6 +468,7 @@ def pallas_warp_combine(
     snap_tol: float = 0.05,
     v_bounds: "jnp.ndarray | None" = None,
     snap_geom: "jnp.ndarray | None" = None,
+    frame_group: "int | None" = None,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Warp every frame by its matrix and sigma-clip-combine, fused —
@@ -472,6 +514,7 @@ def pallas_warp_combine(
                                    dither_budget=dither_budget,
                                    snap_tol=snap_tol, v_bounds=v_bounds,
                                    snap_geom=snap_geom,
+                                   frame_group=frame_group,
                                    interpret=True)
     if combine not in ("average", "median", "sum", "mean"):
         raise ValueError(f"unknown combine '{combine}'")
@@ -592,6 +635,20 @@ def pallas_warp_combine(
     # (A=1 inside the apron would pollute coverage-excluded pixels
     # only, which never contribute)
 
+    # frame grouping: warp ``fgroup`` frames per grid step.  The window
+    # origins are frame-INDEPENDENT, so one (fgroup, th, tw) block
+    # delivers every grouped frame's window in a single DMA, and the
+    # per-grid-step Mosaic overhead is amortized fgroup-fold
+    # (measured: fgroup=2 is ~7% faster than 1 at (112, 512) n=100;
+    # fgroup=4 REGRESSES — the auto choice stops at 2).
+    if frame_group is None:
+        fgroup = next(g for g in (2, 1) if n % g == 0)
+    else:
+        if n % frame_group:
+            raise ValueError(f"frame_group {frame_group} must divide "
+                             f"frame count {n}")
+        fgroup = frame_group
+
     def make_map(dy, dx):
         def index_map(i, j, f, mats_ref, byp_ref, bxp_ref):
             return (f, byp_ref[i, j] + dy, bxp_ref[i, j] + dx)
@@ -602,7 +659,7 @@ def pallas_warp_combine(
             return (0, byp_ref[i, j] + dy, bxp_ref[i, j] + dx)
         return index_map
 
-    in_specs = [pl.BlockSpec((1, th, tw), make_map(dy, dx))
+    in_specs = [pl.BlockSpec((fgroup, th, tw), make_map(dy, dx))
                 for dy in range(vb) for dx in range(3)]
     if has_masters:
         # master windows: one (3, th, tw) block per neighborhood
@@ -615,10 +672,10 @@ def pallas_warp_combine(
 
     kernel = _make_kernel(n, th, tw, span, h0, w0, vb, oy, ox,
                           float(sigma_lower), float(sigma_upper),
-                          align, combine, has_masters)
+                          align, combine, has_masters, fgroup=fgroup)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
-        grid=(n_ti, n_tj, n),
+        grid=(n_ti, n_tj, n // fgroup),
         in_specs=in_specs,
         out_specs=pl.BlockSpec((th, tw), lambda i, j, f, *_: (i, j)),
         scratch_shapes=[

@@ -171,3 +171,34 @@ def test_aperture_exact_matches_analytic_gaussian():
     got = float(np.asarray(phot.aperture_sum)[0])
     analytic = flux * (1.0 - np.exp(-r_ap ** 2 / (2 * sigma ** 2)))
     assert abs(got - analytic) / analytic < 1e-3, (got, analytic)
+
+
+def test_noise_stats_mean_tracks_median():
+    """The sort-free clipped-mean noise center (frame_noise_stats
+    default) stays within 0.06 sigma of the exact sigma-clipped MEDIAN
+    center on sky-dominated frames with stars (VERDICT round 2 item 9:
+    the documented bound tying the fast center to the reference's
+    sigma_clipped_stats median semantics)."""
+    from astrophotography_tpu.models.pipeline import frame_noise_stats
+
+    rng = np.random.default_rng(17)
+    frames = []
+    for i in range(4):
+        f = 800.0 + rng.normal(0, 8.0, (256, 256)).astype(np.float32)
+        for _ in range(30):  # bright stars to stress the clip
+            x, y = rng.uniform(16, 240, 2)
+            f += synth.gaussian_star((256, 256), x, y,
+                                     rng.uniform(2e4, 6e4), 3.0)
+        frames.append(f)
+    frames = jnp.asarray(np.stack(frames))
+    ce_f, std_f = frame_noise_stats(frames)
+    ce_m, std_m = frame_noise_stats(frames, center="median")
+    ce_f, std_f = np.asarray(ce_f), np.asarray(std_f)
+    ce_m, std_m = np.asarray(ce_m), np.asarray(std_m)
+    assert np.all(np.abs(ce_f - ce_m) < 0.06 * std_m), (ce_f, ce_m)
+    # fast std runs ~15% HIGH here (star wings survive the
+    # mean-centered clip on this unrealistically dense field),
+    # which makes the 7-sigma detection threshold conservative,
+    # never permissive
+    assert np.all(std_f > 0.9 * std_m)
+    assert np.all(std_f < 1.25 * std_m)
