@@ -190,13 +190,15 @@ def register_frames(
     center, std = frame_noise_stats(cal, center=config.noise_center)
 
     def detect(frame, c, s):
-        return find_stars(frame - c, fwhm=config.fwhm,
+        # floor=c instead of frame - c: the matched filter is
+        # DC-invariant, so the subtracted copy never materializes
+        return find_stars(frame, fwhm=config.fwhm,
                           threshold=config.detect_nsigma * s,
                           max_stars=config.max_stars,
                           topk_mode=config.detect_topk,
                           mode="fast" if config.detect_fast else "exact",
                           stats=False,  # registration needs x/y/flux only
-                          bin_rows=config.detect_bin_rows)
+                          bin_rows=config.detect_bin_rows, floor=c)
 
     if config.detect_mode == "chunked" and n > config.detect_chunk:
         c = config.detect_chunk
@@ -379,13 +381,15 @@ def calibrate_register_stack_lean(
         exp_ratios = jnp.ones((n,), jnp.float32)
 
     def detect(frame, ce, s):
-        return find_stars(frame - ce, fwhm=config.fwhm,
+        # floor=ce: no materialized (frame - center) stack (see
+        # register_frames)
+        return find_stars(frame, fwhm=config.fwhm,
                           threshold=config.detect_nsigma * s,
                           max_stars=config.max_stars,
                           topk_mode=config.detect_topk,
                           mode="fast" if config.detect_fast else "exact",
                           stats=False,  # registration needs x/y/flux only
-                          bin_rows=config.detect_bin_rows)
+                          bin_rows=config.detect_bin_rows, floor=ce)
 
     parts = []
     token = jnp.float32(0.0)

@@ -164,8 +164,17 @@ def find_stars(
     mode: str = "exact",
     stats: bool = True,
     bin_rows: bool = False,
+    floor: "jnp.ndarray | float" = 0.0,
 ) -> Stars:
     """Detect star-like sources in background-subtracted data.
+
+    ``floor``: scalar background level to subtract ONLY where the
+    offset matters (centroid cutouts, peak values).  The matched
+    filter has zero DC response, so passing the un-subtracted frame
+    with ``floor=center`` is numerically identical to passing
+    ``frame - center`` — without materializing the subtracted copy
+    (saves a full f32 stack write+read per detection chunk in the
+    lean pipeline).
 
     ``threshold`` is in amplitude (density) units — pass
     ``nsigma * bg_stddev`` to match the reference invocation
@@ -192,6 +201,7 @@ def find_stars(
     center-of-mass centroid restores subpixel accuracy.
     """
     data = data.astype(jnp.float32)
+    floor_f = jnp.asarray(floor, jnp.float32)
     h, w = data.shape
     kernel, foot, r = daofind_kernel(fwhm)
     bin_r = 2 if (bin_rows and mode == "fast" and h % 2 == 0) else 1
@@ -294,12 +304,15 @@ def find_stars(
         x0 = jnp.clip(cx - r, 0, w - box)
         cut = jax.lax.dynamic_slice(data, (y0, x0), (box, box))
         if stats:
-            # sharpness: (peak pixel - footprint mean excl. center) / density
-            center = data[cy, cx]
+            # sharpness: (peak pixel - footprint mean excl. center) /
+            # density — the difference is floor-invariant, so compute
+            # it on the raw values; only the REPORTED peak subtracts
+            center_raw = data[cy, cx]
             foot_n = jnp.sum(foot) - 1.0
-            foot_mean = (jnp.sum(cut * foot) - center) / foot_n
+            foot_mean = (jnp.sum(cut * foot) - center_raw) / foot_n
             dens_peak = dens[cy, cx].astype(jnp.float32)
-            sharp = (center - foot_mean) / jnp.maximum(dens_peak, 1e-12)
+            sharp = (center_raw - foot_mean) / jnp.maximum(dens_peak, 1e-12)
+            center = center_raw - floor_f
             # roundness: asymmetry of 4-fold symmetric sum of the density
             dcut = jax.lax.dynamic_slice(dens, (y0, x0), (box, box)) \
                 .astype(jnp.float32)
@@ -315,7 +328,7 @@ def find_stars(
             sharp = jnp.float32(0.0)
             roundness = jnp.float32(0.0)
         # iterated center of mass on positive data within the box
-        pos = jnp.maximum(cut, 0.0)
+        pos = jnp.maximum(cut - floor_f, 0.0)
         ys = jnp.arange(box, dtype=jnp.float32)
         xs = jnp.arange(box, dtype=jnp.float32)
         wsum = jnp.maximum(jnp.sum(pos), 1e-12)
