@@ -92,6 +92,12 @@ class PipelineConfig:
     #: 'median' (exact sigma_clipped_stats semantics, reference
     #: ApFindStars.py:142-154)
     noise_center: str = "mean"
+    #: lean-pipeline detection engine: 'auto' = the fused raw->candidate
+    #: Pallas kernel (ops/pallas_detect) when the geometry allows
+    #: (H % 64 == 0, W % 256 == 0, detect_fast semantics), else the
+    #: chunked XLA path; 'chunked' forces the XLA path; 'fused' errors
+    #: if the geometry does not allow the kernel
+    detect_impl: str = "auto"
     #: fused-kernel apron: True pads the source stack with a zero apron
     #: (simple, one extra stack copy); False streams tiles straight from
     #: the unpadded stack (memory-critical 100x16-Mpix runs) at the cost
@@ -116,6 +122,12 @@ def frame_noise_stats(frames: jnp.ndarray,
     ApFindStars.py:142-154), one full sort of the subsample per frame.
     """
     sub = frames[:, ::8, :].reshape(frames.shape[0], -1)
+    return _noise_stats_from_sub(sub, center)
+
+
+def _noise_stats_from_sub(sub: jnp.ndarray, center: str):
+    """(center, std) per row of an (N, M) subsample (see
+    :func:`frame_noise_stats`)."""
     if center == "median":
         from ..ops.stats import sigma_clipped_stats
 
@@ -133,6 +145,122 @@ def frame_noise_stats(frames: jnp.ndarray,
         std = jnp.sqrt(var)
         keep = keep & (jnp.abs(sub - cen[:, None]) < 3.0 * std[:, None])
     return cen, std
+
+
+def _detect_stars_fused(frames, bias, dark, flat, exp_ratios,
+                        config: PipelineConfig):
+    """Registration-grade Stars table via the fused raw->candidate
+    Pallas kernel (ops/pallas_detect): one streaming pass over the raw
+    uint16 stack produces per-tile density-peak candidates; the host
+    side runs the tiny top-k, resolves the full-resolution peak row,
+    and computes center-of-mass centroids on CALIBRATED 5x5 cutouts —
+    the f32 calibrated stack never exists."""
+    from ..ops.detect import Stars, _kernel_radius
+    from ..ops.pallas_detect import (_BIN, _TTX, _TTY, master_densities,
+                                     pallas_detect_tiles)
+
+    n, h, w = frames.shape
+    has_masters = any(m is not None for m in (bias, dark, flat))
+    inv_flat = (1.0 / flat).astype(jnp.float32) if flat is not None else None
+    bias_t = bias if bias is not None else jnp.zeros((h, w), jnp.float32)
+    if dark is not None:
+        dark_use = dark - bias_t if (config.dark_still_biased
+                                     and bias is not None) else dark
+    else:
+        dark_use = jnp.zeros((h, w), jnp.float32)
+
+    # combined calibration planes (cal = raw * A - B - r * C)
+    a_full = inv_flat if inv_flat is not None else None
+    if has_masters:
+        af = a_full if a_full is not None else 1.0
+        b_plane = (bias_t * af).astype(jnp.float32)
+        c_plane = (dark_use * af).astype(jnp.float32)
+    else:
+        b_plane = c_plane = None
+
+    # per-frame noise stats on calibrated SUBSAMPLED rows only
+    rows = frames[:, ::8, :].astype(jnp.float32)
+    if has_masters:
+        a_r = a_full[::8] if a_full is not None else 1.0
+        cal_sub = rows * a_r - b_plane[::8] \
+            - exp_ratios[:, None, None] * c_plane[::8]
+    else:
+        cal_sub = rows
+    ce, std = _noise_stats_from_sub(cal_sub.reshape(n, -1),
+                                    config.noise_center)
+
+    mf = master_densities(bias_t, dark_use, flat, fwhm=config.fwhm) \
+        if has_masters else None
+    band = next(b for b in (128, 64, 32) if (h // _BIN) % b == 0)
+    maxv, idxv = pallas_detect_tiles(
+        frames, config.detect_nsigma * std, mf_bc=mf, a_plane=a_full,
+        exp_ratios=exp_ratios, fwhm=config.fwhm, band=band)
+
+    tx_n = maxv.shape[2]
+    n_tiles = maxv.shape[1] * maxv.shape[2]
+    k = min(config.max_stars, n_tiles)
+    top_vals, top_t = jax.lax.top_k(maxv.reshape(n, -1), k)
+    if k < config.max_stars:
+        # small frames have fewer tiles than the star capacity; pad
+        pad = config.max_stars - k
+        top_vals = jnp.pad(top_vals, ((0, 0), (0, pad)),
+                           constant_values=-3.0e38)
+        top_t = jnp.pad(top_t, ((0, 0), (0, pad)))
+    valid = top_vals > -1.0e37
+    l = jnp.take_along_axis(idxv.reshape(n, -1), top_t, axis=1)
+    py = ((top_t // tx_n) * _TTY + l // _TTX) * _BIN
+    px = (top_t % tx_n) * _TTX + l % _TTX
+
+    r = _kernel_radius(config.fwhm)
+    box = 2 * r + 1
+
+    def per_frame(frame, pys, pxs, ce_f, r_f):
+        def per_star(cy, cx):
+            # the binned peak row is only even-resolved; pick the
+            # brighter full-resolution row so the centroid box centers
+            cy1 = jnp.clip(cy + 1, 0, h - 1)
+            take = frame[cy1, cx].astype(jnp.float32) \
+                > frame[cy, cx].astype(jnp.float32)
+            cyr = jnp.where(take, cy1, cy)
+            y0 = jnp.clip(cyr - r, 0, h - box)
+            x0 = jnp.clip(cx - r, 0, w - box)
+            cut = jax.lax.dynamic_slice(frame, (y0, x0),
+                                        (box, box)).astype(jnp.float32)
+            if has_masters:
+                if a_full is not None:
+                    cut = cut * jax.lax.dynamic_slice(a_full, (y0, x0),
+                                                      (box, box))
+                cut = cut - jax.lax.dynamic_slice(b_plane, (y0, x0),
+                                                  (box, box)) \
+                    - r_f * jax.lax.dynamic_slice(c_plane, (y0, x0),
+                                                  (box, box))
+            pos = jnp.maximum(cut - ce_f, 0.0)
+            ys = jnp.arange(box, dtype=jnp.float32)
+            xs = jnp.arange(box, dtype=jnp.float32)
+            wsum = jnp.maximum(jnp.sum(pos), 1e-12)
+            cy_f = jnp.sum(pos * ys[:, None]) / wsum + y0
+            cx_f = jnp.sum(pos * xs[None, :]) / wsum + x0
+            return cx_f, cy_f
+
+        return jax.vmap(per_star)(pys, pxs)
+
+    cx_f, cy_f = jax.vmap(per_frame)(frames, py, px, ce, exp_ratios)
+    zero = jnp.zeros((n, config.max_stars), jnp.float32)
+    return Stars(
+        x=jnp.where(valid, cx_f, zero),
+        y=jnp.where(valid, cy_f, zero),
+        flux=jnp.where(valid, top_vals, zero),
+        peak=zero, sharpness=zero, roundness=zero,
+        valid=valid,
+    )
+
+
+def _fused_detect_ok(config: PipelineConfig, h: int, w: int) -> bool:
+    """The fused detect kernel implements exactly the lean bench
+    semantics (fast filter, 2x row bin, tile top-k)."""
+    return (config.detect_fast and config.detect_bin_rows
+            and config.detect_topk == "tile"
+            and h % 64 == 0 and w % 256 == 0 and (h // 2) % 32 == 0)
 
 
 def _ref_index(stars, config: PipelineConfig):
@@ -380,34 +508,47 @@ def calibrate_register_stack_lean(
     if exp_ratios is None:
         exp_ratios = jnp.ones((n,), jnp.float32)
 
-    def detect(frame, ce, s):
-        # floor=ce: no materialized (frame - center) stack (see
-        # register_frames)
-        return find_stars(frame, fwhm=config.fwhm,
-                          threshold=config.detect_nsigma * s,
-                          max_stars=config.max_stars,
-                          topk_mode=config.detect_topk,
-                          mode="fast" if config.detect_fast else "exact",
-                          stats=False,  # registration needs x/y/flux only
-                          bin_rows=config.detect_bin_rows, floor=ce)
+    use_fused_detect = (config.detect_impl == "fused"
+                        or (config.detect_impl == "auto"
+                            and _fused_detect_ok(config, h, w)))
+    if config.detect_impl == "fused" and not _fused_detect_ok(config, h, w):
+        raise ValueError("detect_impl='fused' needs detect_fast + "
+                         "detect_bin_rows + detect_topk='tile' and "
+                         "H % 64 == 0, W % 256 == 0")
+    if use_fused_detect:
+        # one streaming Pallas pass over the raw stack; no chunk loop,
+        # no calibrated stack (ops/pallas_detect)
+        stars = _detect_stars_fused(frames, bias, dark, flat,
+                                    exp_ratios, config)
+    else:
+        def detect(frame, ce, s):
+            # floor=ce: no materialized (frame - center) stack (see
+            # register_frames)
+            return find_stars(frame, fwhm=config.fwhm,
+                              threshold=config.detect_nsigma * s,
+                              max_stars=config.max_stars,
+                              topk_mode=config.detect_topk,
+                              mode="fast" if config.detect_fast else "exact",
+                              stats=False,  # registration: x/y/flux only
+                              bin_rows=config.detect_bin_rows, floor=ce)
 
-    parts = []
-    token = jnp.float32(0.0)
-    for k in range(0, n, c):
-        # token chain forces the scheduler to finish each chunk before
-        # starting the next, bounding live chunk buffers to one
-        chunk, _tok = jax.lax.optimization_barrier(
-            (frames[k:k + c], token))
-        calc = calibrate_batch(chunk, bias, dark, flat,
-                               exp_ratios[k:k + c],
-                               dark_still_biased=config.dark_still_biased)
-        ce, s = frame_noise_stats(calc, center=config.noise_center)
-        part = jax.vmap(detect)(calc, ce, s)
-        # raw value as the token (a zero-multiplied one gets folded away)
-        token = jax.lax.optimization_barrier(part.x[0, 0])
-        parts.append(part)
-    stars = jax.tree_util.tree_map(
-        lambda *xs: jnp.concatenate(xs, axis=0), *parts)
+        parts = []
+        token = jnp.float32(0.0)
+        for k in range(0, n, c):
+            # token chain forces the scheduler to finish each chunk
+            # before starting the next, bounding live chunk buffers
+            chunk, _tok = jax.lax.optimization_barrier(
+                (frames[k:k + c], token))
+            calc = calibrate_batch(chunk, bias, dark, flat,
+                                   exp_ratios[k:k + c],
+                                   dark_still_biased=config.dark_still_biased)
+            ce, s = frame_noise_stats(calc, center=config.noise_center)
+            part = jax.vmap(detect)(calc, ce, s)
+            # raw value as the token (zero-multiplied ones fold away)
+            token = jax.lax.optimization_barrier(part.x[0, 0])
+            parts.append(part)
+        stars = jax.tree_util.tree_map(
+            lambda *xs: jnp.concatenate(xs, axis=0), *parts)
 
     sims, matrices, ref_idx = _solve_frame_similarities(stars, n, config)
 
