@@ -107,12 +107,18 @@ def _make_kernel(n, band, w, h2, r, gr, gc, mean_w, inv_den,
 
         def binned(block, a_block, r0, nrows):
             """0.5*(raw[2i] + raw[2i+1]) of raw rows [r0, r0+2*nrows),
-            optionally * A."""
+            optionally * A.  The pairwise row sum is a one-hot MXU
+            matmul: value-level strided slices (x[0::2]) lower to
+            gathers, which this Mosaic toolchain rejects."""
             raw = block[r0:r0 + 2 * nrows]
             x = raw.astype(jnp.int32).astype(jnp.float32)
             if has_flat:
                 x = x * a_block[r0:r0 + 2 * nrows]
-            return 0.5 * (x[0::2, :] + x[1::2, :])
+            rsel = jax.lax.broadcasted_iota(jnp.int32, (nrows, 2 * nrows), 0)
+            csel = jax.lax.broadcasted_iota(jnp.int32, (nrows, 2 * nrows), 1)
+            p = ((csel == 2 * rsel) | (csel == 2 * rsel + 1)) \
+                .astype(jnp.float32) * 0.5
+            return jnp.dot(p, x, preferred_element_type=jnp.float32)
 
         a_prev = a3[0][:] if has_flat else None
         a_self = a3[1][:] if has_flat else None
@@ -136,19 +142,19 @@ def _make_kernel(n, band, w, h2, r, gr, gc, mean_w, inv_den,
             sl = bin_ref[k:k + nr, :]
             gcol = sl * gr[k] if gcol is None else gcol + sl * gr[k]
             bcol = sl if bcol is None else bcol + sl
-        # row (lane) conv on the interior columns [2? r, w - r)
-        wi = w - 2 * r
+        # row (lane) conv, full width via static rotates: slicing to
+        # the interior + lane-axis concatenates crashed the remote
+        # Mosaic compiler; wrapped edge columns are excluded by the
+        # border mask below (contamination reach r + 1 < r + 2)
+        neg = jnp.float32(-3.0e38)
         g2 = None
         b2 = None
         for s in range(2 * r + 1):
-            gsl = gcol[:, s:s + wi]
-            bsl = bcol[:, s:s + wi]
+            gsl = pltpu.roll(gcol, (r - s) % w, axis=1)
+            bsl = pltpu.roll(bcol, (r - s) % w, axis=1)
             g2 = gsl * gc[s] if g2 is None else g2 + gsl * gc[s]
             b2 = bsl if b2 is None else b2 + bsl
-        dens_i = (g2 - mean_w * b2) * inv_den     # (nr, w - 2r)
-        neg = jnp.float32(-3.0e38)
-        dens = jnp.full((nr, w), neg, jnp.float32)
-        dens = dens.at[:, r:w - r].set(dens_i)
+        dens = (g2 - mean_w * b2) * inv_den       # (nr, w)
         if has_mf:
             exp_r = scal_ref[f, 1]
             mprev = mf3[0]
@@ -165,14 +171,17 @@ def _make_kernel(n, band, w, h2, r, gr, gc, mean_w, inv_den,
         core = dens[1:1 + band, :]
         up = dens[0:band, :]
         dn = dens[2:2 + band, :]
+
+        def sc(x, d):
+            # static column rotate; wrap columns are border-masked
+            return pltpu.roll(x, d % w, axis=1)
+
         earlier = jnp.maximum(
-            jnp.maximum(_shift_cols(up, 1, neg), up),
-            jnp.maximum(_shift_cols(up, -1, neg),
-                        _shift_cols(core, 1, neg)))
+            jnp.maximum(sc(up, 1), up),
+            jnp.maximum(sc(up, -1), sc(core, 1)))
         later = jnp.maximum(
-            jnp.maximum(_shift_cols(core, -1, neg),
-                        _shift_cols(dn, 1, neg)),
-            jnp.maximum(dn, _shift_cols(dn, -1, neg)))
+            jnp.maximum(sc(core, -1), sc(dn, 1)),
+            jnp.maximum(dn, sc(dn, -1)))
 
         thr = scal_ref[f, 0]
         rows_g = t * band + jax.lax.broadcasted_iota(jnp.int32, (band, w), 0)
@@ -190,21 +199,22 @@ def _make_kernel(n, band, w, h2, r, gr, gc, mean_w, inv_den,
         hit = s4 >= m[:, None, :, None]
         loc = jnp.min(jnp.where(hit, lidx, jnp.int32(2 ** 30)),
                       axis=(1, 3))
-        out_max[0] = m
-        out_idx[0] = loc
+        # pad the (tyn, txn) result to the (8, 128) TPU output tile
+        # (concatenate: .at[].set lowers to scatter, rejected by Mosaic)
+        m8 = jnp.concatenate(
+            [m, jnp.full((8 - tyn, txn), neg, jnp.float32)], axis=0) \
+            if tyn < 8 else m
+        out_max[0] = jnp.concatenate(
+            [m8, jnp.full((8, 128 - txn), neg, jnp.float32)], axis=1) \
+            if txn < 128 else m8
+        l8 = jnp.concatenate(
+            [loc, jnp.zeros((8 - tyn, txn), jnp.int32)], axis=0) \
+            if tyn < 8 else loc
+        out_idx[0] = jnp.concatenate(
+            [l8, jnp.zeros((8, 128 - txn), jnp.int32)], axis=1) \
+            if txn < 128 else l8
 
     return kernel
-
-
-def _shift_cols(x, d, fill):
-    """x shifted by d columns (static), filled at the edge."""
-    if d == 0:
-        return x
-    n = x.shape[1]
-    pad = jnp.full((x.shape[0], abs(d)), fill, x.dtype)
-    if d > 0:
-        return jnp.concatenate([pad, x[:, :n - d]], axis=1)
-    return jnp.concatenate([x[:, -d:], pad], axis=1)
 
 
 @functools.partial(jax.jit,
@@ -288,25 +298,35 @@ def pallas_detect_tiles(
     kernel = _make_kernel(n, band, w, h2, r, [float(v) for v in gr],
                           [float(v) for v in gc], mean_w, inv_den,
                           has_mf, has_flat)
+    if tyn > 8 or txn > 128:
+        raise ValueError("band/width too large for the (8, 128) "
+                         "candidate output tile")
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(t_count, n),
         in_specs=in_specs,
+        # per-step candidate results are tiny (tyn x txn); they are
+        # written padded into (8, 128) blocks to satisfy the TPU
+        # output-tiling constraint and sliced back outside
         out_specs=[
-            pl.BlockSpec((1, tyn, txn), lambda t, f, *_: (f, t, 0)),
-            pl.BlockSpec((1, tyn, txn), lambda t, f, *_: (f, t, 0)),
+            pl.BlockSpec((1, 8, 128), lambda t, f, *_: (f, t, 0)),
+            pl.BlockSpec((1, 8, 128), lambda t, f, *_: (f, t, 0)),
         ],
         scratch_shapes=[pltpu.VMEM((band + 2 * (r + 1), w), jnp.float32)],
     )
     maxv, idx = pl.pallas_call(
         kernel,
         out_shape=[
-            jax.ShapeDtypeStruct((n, t_count * tyn, txn), jnp.float32),
-            jax.ShapeDtypeStruct((n, t_count * tyn, txn), jnp.int32),
+            jax.ShapeDtypeStruct((n, t_count * 8, 128), jnp.float32),
+            jax.ShapeDtypeStruct((n, t_count * 8, 128), jnp.int32),
         ],
         grid_spec=grid_spec,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(scal, *operands)
+    maxv = maxv.reshape(n, t_count, 8, 128)[:, :, :tyn, :txn] \
+        .reshape(n, t_count * tyn, txn)
+    idx = idx.reshape(n, t_count, 8, 128)[:, :, :tyn, :txn] \
+        .reshape(n, t_count * tyn, txn)
     return maxv, idx

@@ -2,13 +2,15 @@
 
 The pipeline's peak-memory cost is the materialized warped stack (and
 its coverage maps): (N, H, W) float32 each.  This kernel removes them:
-the grid is (tile_rows, tile_cols, frame) with the frame axis
-innermost; each step warps one frame's tile on-chip (two-pass separable
-Lanczos3 with polynomial weights — the same math as
-ops/warp.warp_affine_separable) into a persistent VMEM scratch holding
-the N warped tile rows, and the final frame step runs the single-pass
-median/MAD/clip combine and writes the output tile.  Nothing
-stack-sized is ever allocated beyond the (apron-padded) input itself.
+the grid is (tile_rows, tile_cols, frame_group) with the frame axis
+innermost; each step warps a small GROUP of frames' tiles on-chip
+(two-pass separable Lanczos3 with polynomial weights — the same math
+as ops/warp.warp_affine_separable; one multi-frame block DMA per
+window position, since the window origins are frame-independent) into
+a persistent VMEM scratch holding the N warped tile rows, and the
+final group step runs the single-pass median/MAD/clip combine and
+writes the output tile.  Nothing stack-sized is ever allocated beyond
+the (apron-padded) input itself.
 
 Source delivery uses ordinary BlockSpecs (manual ``make_async_copy``
 from ANY-space inputs does not compile through this environment's
