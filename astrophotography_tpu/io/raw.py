@@ -353,7 +353,7 @@ def _unpack_bits(payload: bytes, bits: int, h: int, w: int) -> np.ndarray:
 
 
 # --------------------------------------------------------------------------
-# DNG writing (uncompressed) — round-trip utility + synthetic test input
+# DNG writing — round-trip utility + synthetic test input
 # --------------------------------------------------------------------------
 
 def write_dng(
@@ -363,10 +363,28 @@ def write_dng(
     white_level: int = 65535,
     camera_wb=(1.0, 1.0, 1.0, 1.0),
     exif: Optional[Dict[str, Any]] = None,
+    compression: int = 1,
+    strip_payload: Optional[bytes] = None,
 ) -> None:
-    """Write a minimal uncompressed RGGB DNG (single IFD, one strip)."""
+    """Write a minimal RGGB DNG (single IFD, one strip).
+
+    ``compression`` 1 writes the mosaic uncompressed; 7 lossless-JPEG
+    encodes it (io/losslessjpeg), producing camera-style compressed
+    input.  ``strip_payload`` supplies pre-encoded compression-7 strip
+    bytes so callers writing many identical-payload files (benchmarks)
+    skip re-encoding.
+    """
     mosaic = np.ascontiguousarray(mosaic, dtype="<u2")
     h, w = mosaic.shape
+    if compression == 7:
+        if strip_payload is None:
+            from .losslessjpeg import encode_lossless_jpeg
+            strip_payload = encode_lossless_jpeg(mosaic)
+        strip_bytes = strip_payload
+    elif compression == 1:
+        strip_bytes = mosaic.tobytes()
+    else:
+        raise ValueError(f"compression must be 1 or 7, got {compression}")
     exif = exif or {}
     # AsShotNeutral = 1/wb for RGB
     wb = [float(x) for x in camera_wb]
@@ -391,7 +409,7 @@ def write_dng(
     add(_TAG_WIDTH, 4, 1, struct.pack("<I", w))
     add(_TAG_LENGTH, 4, 1, struct.pack("<I", h))
     add(_TAG_BITS, 3, 1, struct.pack("<HH", 16, 0))
-    add(_TAG_COMPRESSION, 3, 1, struct.pack("<HH", 1, 0))
+    add(_TAG_COMPRESSION, 3, 1, struct.pack("<HH", compression, 0))
     add(_TAG_PHOTOMETRIC, 3, 1, struct.pack("<HH", _PHOTOMETRIC_CFA, 0))
     if "Make" in exif:
         add(_TAG_MAKE, 2, 0, exif["Make"].encode("latin-1") + b"\0")
@@ -399,7 +417,7 @@ def write_dng(
         add(_TAG_MODEL, 2, 0, exif["Model"].encode("latin-1") + b"\0")
     add(_TAG_STRIP_OFFSETS, 4, 1, b"STRP")  # patched later
     add(_TAG_ROWS_PER_STRIP, 4, 1, struct.pack("<I", h))
-    add(_TAG_STRIP_BYTE_COUNTS, 4, 1, struct.pack("<I", h * w * 2))
+    add(_TAG_STRIP_BYTE_COUNTS, 4, 1, struct.pack("<I", len(strip_bytes)))
     if "DateTime" in exif:
         add(_TAG_DATETIME, 2, 0, exif["DateTime"].encode("latin-1") + b"\0")
     add(_TAG_CFA_REPEAT_DIM, 3, 2, struct.pack("<HH", 2, 2))
@@ -451,7 +469,7 @@ def write_dng(
     for blob in extra:
         buf += blob
     assert len(buf) == strip_offset
-    buf += mosaic.tobytes()
+    buf += strip_bytes
     with open(path, "wb") as fh:
         fh.write(bytes(buf))
 

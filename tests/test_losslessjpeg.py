@@ -167,3 +167,24 @@ def test_rawpy_cross_check_if_available():
         theirs = rawmod.load_rawpy(path)
         np.testing.assert_array_equal(np.asarray(ours.mosaic),
                                       np.asarray(theirs.mosaic))
+
+
+def test_write_dng_compression7_roundtrip(tmp_path):
+    """write_dng(compression=7) emits a lossless-JPEG strip that
+    load_dng decodes back bit-exactly (camera-style compressed DNG)."""
+    from astrophotography_tpu.io.raw import load_dng, write_dng
+
+    rng = np.random.default_rng(11)
+    mosaic = (rng.normal(900, 40, (32, 48)).clip(0, 65535)).astype(np.uint16)
+    path = str(tmp_path / "comp7.dng")
+    write_dng(path, mosaic, black_levels=(256,) * 4, white_level=60000,
+              compression=7)
+    raw = load_dng(path)
+    np.testing.assert_array_equal(raw.mosaic, mosaic)
+    assert raw.white_level == 60000
+
+    # pre-encoded payload path used by benchmark fixture generation
+    payload = encode_lossless_jpeg(mosaic)
+    path2 = str(tmp_path / "comp7b.dng")
+    write_dng(path2, mosaic, compression=7, strip_payload=payload)
+    np.testing.assert_array_equal(load_dng(path2).mosaic, mosaic)
