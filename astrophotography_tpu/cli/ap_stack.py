@@ -21,6 +21,7 @@ import numpy as np
 
 from .common import add_loglevel, cli_main
 from ..io.fits import Header, read_image, write_image
+from ..ops.register import REJECTED_TRANSLATION
 from ..utils.logger import get_logger
 
 logger = get_logger("cli.ap_stack")
@@ -90,12 +91,12 @@ def _stack_union_canvas(stack, scales, cfg):
     for i in range(n):
         if inl[i] < 4 and i != int(ref_idx):
             continue   # unregistered frames are excluded anyway
-        if i != int(ref_idx) and np.abs(mats[i, :, 2]).max() > 50 * max(h, w):
+        if i != int(ref_idx) and (np.abs(mats[i, :, 2]).max()
+                                  > REJECTED_TRANSLATION / 2):
             # registration degeneracy gate (ops/register.py) replaces a
-            # rejected solve's translation with a 1e9 sentinel even when
-            # n_inliers >= 4; folding that into the union box would
-            # demand a ~2e9-px canvas.  Anything beyond a generous
-            # mosaic-scale offset is that sentinel, not data.
+            # rejected solve's translation with the REJECTED_TRANSLATION
+            # sentinel even when n_inliers >= 4; folding that into the
+            # union box would demand a ~2e9-px canvas.
             logger.warning(f"frame {i}: rejected registration (sentinel "
                            "translation); excluded from the union canvas")
             continue

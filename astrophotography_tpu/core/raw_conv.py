@@ -34,10 +34,15 @@ class RawConv:
     R, G1, B, G2 = 0, 1, 2, 3
     MAX_ADU = 65535
 
-    def __init__(self, rawfile: str, pattern: str = "RGGB") -> None:
+    def __init__(self, rawfile: str, pattern: str = "RGGB",
+                 raw_image: "RawImage | None" = None) -> None:
+        """``raw_image`` supplies an already-decoded RawImage (e.g. from
+        a prefetch thread overlapping container decode with device
+        work); ``rawfile`` is then only used for logging."""
         t0 = time.perf_counter()
         self._rawfile = rawfile
-        self._raw: RawImage = load_raw(rawfile, pattern=pattern)
+        self._raw: RawImage = (raw_image if raw_image is not None
+                               else load_raw(rawfile, pattern=pattern))
         self._mosaic = jnp.asarray(self._raw.mosaic)
         self._color_map = jnp.asarray(self._raw.color_map)
         self._black_levels = jnp.asarray(self._raw.black_levels,

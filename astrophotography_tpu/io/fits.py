@@ -583,61 +583,60 @@ def open_fits_bytes(data: bytes) -> HDUList:
 
 def _open_fits_stream(fh, name: str = "<stream>") -> HDUList:
     hdus = HDUList()
-    if True:
-        first = True
-        while True:
-            block = fh.read(BLOCK)
-            if not block:
+    first = True
+    while True:
+        block = fh.read(BLOCK)
+        if not block:
+            break
+        if len(block) < BLOCK:
+            if block.strip(b"\0 ") == b"":
                 break
-            if len(block) < BLOCK:
-                if block.strip(b"\0 ") == b"":
-                    break
-                raise EOFError("truncated FITS header")
-            raw = bytearray(block)
-            while b"END" not in _end_cards(bytes(raw)):
-                raw += _read_exact(fh, BLOCK)
-            header = Header._from_blocks(bytes(raw))
-            if first and header.get("SIMPLE") is None and "XTENSION" not in header:
-                raise ValueError(f"{name!r} is not a FITS file")
-            first = False
-            xt = str(header.get("XTENSION", "")).strip().upper()
-            naxis = int(header.get("NAXIS", 0))
-            shape = tuple(int(header[f"NAXIS{i}"]) for i in range(naxis, 0, -1))
-            bitpix = int(header.get("BITPIX", 8))
-            pcount = int(header.get("PCOUNT", 0))
-            nbytes = int(abs(bitpix) // 8 * int(np.prod(shape, dtype=np.int64)) if shape else 0)
-            nbytes += pcount * (abs(bitpix) // 8)
-            payload = _read_exact(fh, nbytes) if nbytes else b""
-            if nbytes:
-                fh.read((-nbytes) % BLOCK)  # discard padding
-            if xt == "BINTABLE":
-                hdus.append(BinTableHDU._from_parts(header, payload))
-            else:
-                data = None
-                if shape:
-                    data = np.frombuffer(payload, dtype=_BITPIX_DTYPE[bitpix]) \
-                        .reshape(shape).copy()
-                    bscale = header.get("BSCALE", 1)
-                    bzero = header.get("BZERO", 0)
-                    if bitpix > 0 and bscale == 1 and bzero == _UNSIGNED_BZERO.get(
-                            bitpix // 8, None):
-                        # unsigned-int convention: value = (stored + BZERO) mod 2^n
-                        size = bitpix // 8
-                        data = (data.astype(f"i{size}").view(f"u{size}")
-                                + np.array(bzero, dtype=f"u{size}"))
-                    elif bitpix == 8 and bscale == 1 and bzero == -128:
-                        # signed-byte convention: value = stored - 128
-                        data = (data - np.uint8(128)).view("i1")
-                    elif bscale != 1 or bzero != 0:
-                        data = data * float(bscale) + float(bzero)
-                    else:
-                        data = data.astype(data.dtype.newbyteorder("="))
-                    for k in ("BSCALE", "BZERO"):
-                        if k in header:
-                            del header[k]
-                hdus.append(ImageHDU(data, header))
+            raise EOFError("truncated FITS header")
+        raw = bytearray(block)
+        while b"END" not in _end_cards(bytes(raw)):
+            raw += _read_exact(fh, BLOCK)
+        header = Header._from_blocks(bytes(raw))
+        if first and header.get("SIMPLE") is None and "XTENSION" not in header:
+            raise ValueError(f"{name!r} is not a FITS file")
+        first = False
+        xt = str(header.get("XTENSION", "")).strip().upper()
+        naxis = int(header.get("NAXIS", 0))
+        shape = tuple(int(header[f"NAXIS{i}"]) for i in range(naxis, 0, -1))
+        bitpix = int(header.get("BITPIX", 8))
+        pcount = int(header.get("PCOUNT", 0))
+        nbytes = int(abs(bitpix) // 8 * int(np.prod(shape, dtype=np.int64)) if shape else 0)
+        nbytes += pcount * (abs(bitpix) // 8)
+        payload = _read_exact(fh, nbytes) if nbytes else b""
+        if nbytes:
+            fh.read((-nbytes) % BLOCK)  # discard padding
+        if xt == "BINTABLE":
+            hdus.append(BinTableHDU._from_parts(header, payload))
+        else:
+            data = None
+            if shape:
+                data = np.frombuffer(payload, dtype=_BITPIX_DTYPE[bitpix]) \
+                    .reshape(shape).copy()
+                bscale = header.get("BSCALE", 1)
+                bzero = header.get("BZERO", 0)
+                if bitpix > 0 and bscale == 1 and bzero == _UNSIGNED_BZERO.get(
+                        bitpix // 8, None):
+                    # unsigned-int convention: value = (stored + BZERO) mod 2^n
+                    size = bitpix // 8
+                    data = (data.astype(f"i{size}").view(f"u{size}")
+                            + np.array(bzero, dtype=f"u{size}"))
+                elif bitpix == 8 and bscale == 1 and bzero == -128:
+                    # signed-byte convention: value = stored - 128
+                    data = (data - np.uint8(128)).view("i1")
+                elif bscale != 1 or bzero != 0:
+                    data = data * float(bscale) + float(bzero)
+                else:
+                    data = data.astype(data.dtype.newbyteorder("="))
+                for k in ("BSCALE", "BZERO"):
+                    if k in header:
+                        del header[k]
+            hdus.append(ImageHDU(data, header))
     if not hdus:
-        raise ValueError(f"{path!r} contains no HDUs")
+        raise ValueError(f"{name!r} contains no HDUs")
     return hdus
 
 

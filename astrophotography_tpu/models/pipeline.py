@@ -147,6 +147,31 @@ def _noise_stats_from_sub(sub: jnp.ndarray, center: str):
     return cen, std
 
 
+def _calibration_planes(bias, dark, flat, dark_still_biased: bool, h, w):
+    """Combined calibration planes for ``cal = raw * A - B - r * C``.
+
+    Returns ``(a_full, b_plane, c_plane, has_masters)``; ``a_full`` is
+    None when there is no flat (the multiply is elided), and
+    b_plane/c_plane are None when there are no masters at all.  Shared
+    by the fused detection path and the lean stacking stage so the
+    dark_still_biased rule lives in exactly one place."""
+    has_masters = any(m is not None for m in (bias, dark, flat))
+    a_full = (1.0 / flat).astype(jnp.float32) if flat is not None else None
+    bias_t = bias if bias is not None else jnp.zeros((h, w), jnp.float32)
+    if dark is not None:
+        dark_use = dark - bias_t if (dark_still_biased
+                                     and bias is not None) else dark
+    else:
+        dark_use = jnp.zeros((h, w), jnp.float32)
+    if has_masters:
+        af = a_full if a_full is not None else 1.0
+        b_plane = (bias_t * af).astype(jnp.float32)
+        c_plane = (dark_use * af).astype(jnp.float32)
+    else:
+        b_plane = c_plane = None
+    return a_full, b_plane, c_plane, bias_t, dark_use, has_masters
+
+
 def _detect_stars_fused(frames, bias, dark, flat, exp_ratios,
                         config: PipelineConfig):
     """Registration-grade Stars table via the fused raw->candidate
@@ -160,23 +185,9 @@ def _detect_stars_fused(frames, bias, dark, flat, exp_ratios,
                                      pallas_detect_tiles)
 
     n, h, w = frames.shape
-    has_masters = any(m is not None for m in (bias, dark, flat))
-    inv_flat = (1.0 / flat).astype(jnp.float32) if flat is not None else None
-    bias_t = bias if bias is not None else jnp.zeros((h, w), jnp.float32)
-    if dark is not None:
-        dark_use = dark - bias_t if (config.dark_still_biased
-                                     and bias is not None) else dark
-    else:
-        dark_use = jnp.zeros((h, w), jnp.float32)
-
     # combined calibration planes (cal = raw * A - B - r * C)
-    a_full = inv_flat if inv_flat is not None else None
-    if has_masters:
-        af = a_full if a_full is not None else 1.0
-        b_plane = (bias_t * af).astype(jnp.float32)
-        c_plane = (dark_use * af).astype(jnp.float32)
-    else:
-        b_plane = c_plane = None
+    a_full, b_plane, c_plane, bias_t, dark_use, has_masters = \
+        _calibration_planes(bias, dark, flat, config.dark_still_biased, h, w)
 
     # per-frame noise stats on calibrated SUBSAMPLED rows only
     rows = frames[:, ::8, :].astype(jnp.float32)
@@ -215,12 +226,23 @@ def _detect_stars_fused(frames, bias, dark, flat, exp_ratios,
     box = 2 * r + 1
 
     def per_frame(frame, pys, pxs, ce_f, r_f):
+        def calpix(y, x):
+            # CALIBRATED pixel value (the chunked path compares
+            # calibrated values at ops/detect.py's peak resolution;
+            # raw values could disagree across a hot bias/dark pixel
+            # or a flat step)
+            v = frame[y, x].astype(jnp.float32)
+            if has_masters:
+                if a_full is not None:
+                    v = v * a_full[y, x]
+                v = v - b_plane[y, x] - r_f * c_plane[y, x]
+            return v
+
         def per_star(cy, cx):
             # the binned peak row is only even-resolved; pick the
             # brighter full-resolution row so the centroid box centers
             cy1 = jnp.clip(cy + 1, 0, h - 1)
-            take = frame[cy1, cx].astype(jnp.float32) \
-                > frame[cy, cx].astype(jnp.float32)
+            take = calpix(cy1, cx) > calpix(cy, cx)
             cyr = jnp.where(take, cy1, cy)
             y0 = jnp.clip(cyr - r, 0, h - box)
             x0 = jnp.clip(cx - r, 0, w - box)
@@ -270,9 +292,13 @@ def _ref_index(stars, config: PipelineConfig):
     the first light; see ApQualitySummarizer usage in SURVEY.md)."""
     if config.ref_frame == "auto":
         return jnp.argmax(jnp.sum(stars.valid, axis=1))
-    # normalize on the host: a negative index would otherwise CLAMP
-    # (JAX gather semantics), silently registering against frame 0
-    return jnp.int32(int(config.ref_frame) % stars.valid.shape[0])
+    # validate on the host: JAX gather would silently CLAMP any
+    # out-of-range index to an unintended frame
+    n = stars.valid.shape[0]
+    idx = int(config.ref_frame)
+    if not -n <= idx < n:
+        raise ValueError(f"ref_frame {idx} out of range for {n} frames")
+    return jnp.int32(idx % n)
 
 
 
@@ -510,7 +536,13 @@ def calibrate_register_stack_lean(
 
     use_fused_detect = (config.detect_impl == "fused"
                         or (config.detect_impl == "auto"
-                            and _fused_detect_ok(config, h, w)))
+                            and _fused_detect_ok(config, h, w)
+                            # parity with find_stars: on frames with
+                            # fewer (64, 256) tiles than max_stars the
+                            # XLA path falls back to full peak ranking
+                            # (ops/detect.py tile guard); 'auto' must
+                            # not silently cap candidates below it
+                            and (h // 64) * (w // 256) >= config.max_stars))
     if config.detect_impl == "fused" and not _fused_detect_ok(config, h, w):
         raise ValueError("detect_impl='fused' needs detect_fast + "
                          "detect_bin_rows + detect_topk='tile' and "
@@ -552,15 +584,13 @@ def calibrate_register_stack_lean(
 
     sims, matrices, ref_idx = _solve_frame_similarities(stars, n, config)
 
-    inv_flat = (1.0 / flat) if flat is not None \
-        else jnp.ones((h, w), jnp.float32)
-    bias_t = bias if bias is not None else jnp.zeros((h, w), jnp.float32)
-    if dark is not None:
-        dark_use = dark - bias_t if (config.dark_still_biased
-                                     and bias is not None) else dark
-    else:
-        dark_use = jnp.zeros((h, w), jnp.float32)
-    masters = jnp.stack([inv_flat, bias_t * inv_flat, dark_use * inv_flat])
+    a_pl, b_pl, c_pl, _bias_t, _dark_use, _has = _calibration_planes(
+        bias, dark, flat, config.dark_still_biased, h, w)
+    ones = jnp.ones((h, w), jnp.float32)
+    zeros = jnp.zeros((h, w), jnp.float32)
+    masters = jnp.stack([a_pl if a_pl is not None else ones,
+                         b_pl if b_pl is not None else zeros,
+                         c_pl if c_pl is not None else zeros])
 
     apron = config.fused_apron or h < 96 or w < 768
     stacked = pallas_warp_combine(

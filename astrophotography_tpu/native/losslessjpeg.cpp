@@ -268,4 +268,54 @@ int lljpeg_decode(const uint8_t* data, size_t size, uint16_t* out,
     return 0;
 }
 
+
+// Entropy-encode one lossless-JPEG scan interval.
+//   diffs/ssss  : n mapped differences (in [-32768, 32767]) and their
+//                 bit categories; ssss==16 carries no extra bits.
+//   code/len    : Huffman code and code length per category (17 entries).
+//   out/out_cap : caller buffer; worst case ~n*33/8 bits plus stuffing.
+// Returns bytes written (stuffed, 1-padded to a byte) or -1 on overflow.
+// Byte-identical to the Python _BitWriter path in io/losslessjpeg.py.
+long lljpeg_entropy_encode(const int32_t* diffs, const int32_t* ssss,
+                           size_t n, const uint32_t* code,
+                           const int32_t* len, uint8_t* out,
+                           size_t out_cap) {
+    size_t w = 0;
+    uint64_t acc = 0;     // bit accumulator, bits fill from LSB end
+    int nbits = 0;
+    for (size_t i = 0; i < n; ++i) {
+        int s = ssss[i];
+        uint64_t v = code[s];
+        int l = len[s];
+        if (s > 0 && s < 16) {
+            int32_t d = diffs[i];
+            uint32_t extra =
+                (uint32_t)(d >= 0 ? d : d + (1 << s) - 1) & ((1u << s) - 1u);
+            v = (v << s) | extra;
+            l += s;
+        }
+        acc = (acc << l) | v;
+        nbits += l;
+        while (nbits >= 8) {
+            uint8_t b = (uint8_t)(acc >> (nbits - 8));
+            nbits -= 8;
+            if (w + 2 > out_cap) return -1;
+            out[w++] = b;
+            if (b == 0xFF) out[w++] = 0x00;  // byte stuffing
+        }
+        // acc keeps only nbits < 8 live bits plus stale high bits; the
+        // next shift-left never overflows 64 since l <= 31 and the live
+        // window is < 8 bits -- mask to keep the arithmetic clean
+        acc &= (1ull << nbits) - 1ull;
+    }
+    if (nbits) {
+        int pad = 8 - nbits;
+        uint8_t b = (uint8_t)((acc << pad) | ((1u << pad) - 1u));
+        if (w + 2 > out_cap) return -1;
+        out[w++] = b;
+        if (b == 0xFF) out[w++] = 0x00;
+    }
+    return (long)w;
+}
+
 }  // extern "C"

@@ -182,11 +182,7 @@ def _shift(x: jnp.ndarray, dy: int, dx: int) -> jnp.ndarray:
     samples into the directional filters, corrupting the outermost two
     columns/rows far worse than the spatially-wrong-but-right-color
     wrap samples do."""
-    h, w = x.shape[:2]
-    pw = [(max(dy, 0), max(-dy, 0)), (max(dx, 0), max(-dx, 0))] \
-        + [(0, 0)] * (x.ndim - 2)
-    padded = jnp.pad(x, pw, mode="wrap")
-    return padded[max(-dy, 0):max(-dy, 0) + h, max(-dx, 0):max(-dx, 0) + w]
+    return jnp.roll(x, (dy, dx), axis=(0, 1))
 
 
 @jax.jit

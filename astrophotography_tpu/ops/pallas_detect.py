@@ -73,12 +73,18 @@ def master_densities(bias, dark_used, flat, fwhm: float = 3.0):
     from .detect import _fast_density
 
     h, w = bias.shape
+    if flat is not None:
+        # the kernel bins raw*A with A applied per ORIGINAL row
+        # (binned(x*A) = 0.5*(x0*A0 + x1*A1)); the subtracted masters
+        # must bin the same way — dividing binned(bias) by binned(flat)
+        # leaves a residual wherever the flat varies between the two
+        # rows of a pair (e.g. dust-ring edges), incompletely
+        # suppressing hot pixels there
+        a = 1.0 / flat
+        bias = bias * a
+        dark_used = dark_used * a
     b2 = 0.5 * (bias[0::2, :] + bias[1::2, :])
     c2 = 0.5 * (dark_used[0::2, :] + dark_used[1::2, :])
-    if flat is not None:
-        f2 = 0.5 * (flat[0::2, :] + flat[1::2, :])
-        b2 = b2 / f2
-        c2 = c2 / f2
     mb = _fast_density(b2, fwhm, row_sigma_scale=0.5).astype(jnp.float32)
     mc = _fast_density(c2, fwhm, row_sigma_scale=0.5).astype(jnp.float32)
     return jnp.stack([mb, mc])

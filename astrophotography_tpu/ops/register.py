@@ -34,6 +34,12 @@ import jax
 import jax.numpy as jnp
 
 
+#: translation sentinel marking a REJECTED registration solve (see the
+#: degeneracy gate in estimate_similarity); callers detecting rejected
+#: frames must compare against this, not a magic number
+REJECTED_TRANSLATION = 1e9
+
+
 class Similarity(NamedTuple):
     """x' = scale * R(theta) @ x + (tx, ty)."""
 
@@ -214,7 +220,7 @@ def estimate_similarity(
     # flow likewise drops frames whose solve fails), and callers can
     # diagnose via n_inliers.
     ok = (n_in >= 2) & (jnp.abs(scale_f - 1.0) < 3.0 * scale_tol)
-    far = jnp.float32(1e9)
+    far = jnp.float32(REJECTED_TRANSLATION)
     return Similarity(
         scale=jnp.where(ok, scale_f, 1.0),
         theta=jnp.where(ok, theta_f, 0.0),

@@ -134,3 +134,50 @@ def test_lean_pipeline_fused_detect_matches_chunked():
     both = (of != 0) & (oc != 0)
     assert both.mean() > 0.8
     assert np.median(np.abs(of[both] - oc[both])) < 0.5
+
+
+def test_masters_exact_with_row_varying_flat():
+    """With a flat that varies between the two rows of a binned pair,
+    the master-density subtraction still cancels exactly: the masters
+    must be binned as binned(B * A) with A applied per ORIGINAL row,
+    matching the kernel's binned(raw * A)."""
+    h, w = 256, 512
+    img, truth = synth.make_starfield((h, w), n_stars=4, background=400.0,
+                                      read_noise=4.0, seed=12, margin=24,
+                                      min_sep=60.0)
+    bias = np.full((h, w), 200.0, np.float32)
+    bias[100, 300] = 6000.0                    # hot bias pixel...
+    rng = np.random.default_rng(5)
+    # ...sitting on a strongly row-structured flat
+    flat = 1.0 + 0.3 * np.sin(np.arange(h) * 1.1)[:, None] \
+        + rng.normal(0, 0.01, (h, w))
+    flat = flat.astype(np.float32)
+    raw = np.clip(img * flat + bias, 0, 65535).astype(np.uint16)
+    dark = np.zeros((h, w), np.float32)
+    mf = master_densities(jnp.asarray(bias), jnp.asarray(dark),
+                          jnp.asarray(flat))
+    mx, ix = pallas_detect_tiles(jnp.asarray(raw[None]),
+                                 jnp.asarray([60.0]), mf_bc=mf,
+                                 a_plane=jnp.asarray(1.0 / flat),
+                                 exp_ratios=jnp.asarray([1.0]), band=64)
+    found = _decode(np.asarray(mx), np.asarray(ix), 0)
+    assert not any(abs(px - 300) < 3 and abs(py - 100) < 4
+                   for px, py, _v in found), "hot pixel not suppressed"
+    for x0, y0 in zip(truth["x"], truth["y"]):
+        assert min(np.hypot(px - x0, py - y0)
+                   for px, py, _v in found) < 2.5
+
+
+def test_auto_gate_keeps_chunked_on_few_tiles():
+    """detect_impl='auto' must NOT engage the fused kernel when the
+    frame has fewer (64, 256) tiles than max_stars — find_stars falls
+    back to full peak ranking there, and auto must match its capacity."""
+    from astrophotography_tpu.models.pipeline import _fused_detect_ok
+    from astrophotography_tpu.models import PipelineConfig
+
+    cfg = PipelineConfig(max_stars=64, detect_fast=True,
+                         detect_bin_rows=True, detect_topk="tile")
+    # geometry valid for the kernel but only 16 tiles
+    assert _fused_detect_ok(cfg, 512, 512)
+    h, w = 512, 512
+    assert (h // 64) * (w // 256) < cfg.max_stars  # the gate condition

@@ -1,83 +1,119 @@
-"""Stage-split measurement at the 100x4096^2 north star (TPU)."""
-import os, sys; sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-import time, sys
+"""Stage-level timing of the lean north-star pipeline on the TPU.
+
+Measures the stages of the 100 x 16-Mpix bench configuration
+separately (fused detection, fused warp+combine kernel, full lean
+pipeline) so PERFORMANCE.md's stage budget stays reproducible.
+
+Usage: python tools/stagebench.py [--frames N] [--size S]
+       [--stage detect|kernel|full|all]
+
+Timings are min-of-3 with a device-reduction sync (block_until_ready
+does not synchronize through the axon tunnel).
+"""
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import numpy as np
 import jax
 import jax.numpy as jnp
 
+from astrophotography_tpu import synth
 from astrophotography_tpu.models import PipelineConfig
 from astrophotography_tpu.models.pipeline import (
-    calibrate_register_stack_lean, frame_noise_stats)
+    calibrate_register_stack_lean, _detect_stars_fused)
 from astrophotography_tpu.ops.pallas_warp_combine import pallas_warp_combine
-from astrophotography_tpu.ops.calibrate import calibrate_batch
-from astrophotography_tpu.ops.detect import find_stars
 
-N, S = 100, 4096
-rng = np.random.default_rng(0)
-frames = rng.integers(700, 1200, (N, S, S), dtype=np.uint16)
-frames_d = jnp.asarray(frames)
-bias_d = jnp.asarray(np.full((S, S), 300.0, np.float32))
-mats = np.tile(np.eye(2, 3, dtype=np.float32), (N, 1, 1))
-mats[:, 0, 2] = rng.uniform(-4, 4, N)
-mats[:, 1, 2] = rng.uniform(-4, 4, N)
-mats_d = jnp.asarray(mats)
-masters = jnp.stack([jnp.ones((S, S), jnp.float32),
-                     bias_d, jnp.zeros((S, S), jnp.float32)])
 
-def sync(x):
-    return float(jnp.sum(x))
+def make_inputs(n, s, seed=0):
+    rng = np.random.default_rng(seed)
+    base = np.full((s, s), 800.0, np.float32)
+    xs = rng.uniform(32, s - 32, 40)
+    ys = rng.uniform(32, s - 32, 40)
+    fl = rng.uniform(20000, 60000, 40)
+    for x, y, f in zip(xs, ys, fl):
+        x0, y0 = int(x) - 12, int(y) - 12
+        base[y0:y0 + 25, x0:x0 + 25] += synth.gaussian_star(
+            (25, 25), x - x0, y - y0, f, 3.0)
+    frames = np.empty((n, s, s), np.uint16)
+    bias = np.full((s, s), 300.0, np.float32)
+    noise = [rng.normal(0, 8.0, (s, s)).astype(np.float32) for _ in range(4)]
+    for i in range(n):
+        dx, dy = (rng.uniform(-4, 4, 2) if i else (0.0, 0.0))
+        sh = np.roll(np.roll(base, int(round(dy)), 0), int(round(dx)), 1)
+        frames[i] = np.clip(sh + noise[i % 4] + bias, 0,
+                            65535).astype(np.uint16)
+    return jnp.asarray(frames), jnp.asarray(bias)
 
-def timeit(label, fn, reps=3):
-    fn()  # compile
-    ts = []
-    for _ in range(reps):
-        t0 = time.perf_counter(); fn(); ts.append(time.perf_counter() - t0)
-    print(f"{label}: {min(ts)*1000:.1f} ms", flush=True)
-    return min(ts)
 
-# 1. fused kernel standalone, lean config (masters, uint16, apron-free)
-def k_run(snap):
-    out = pallas_warp_combine(frames_d, mats_d, masters=masters,
-                              span=8, apron=False, snap_tol=snap)
-    return sync(out)
-timeit("kernel fast (snap)", lambda: k_run(0.05))
-timeit("kernel general (snap=0)", lambda: k_run(0.0))
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--frames", type=int, default=100)
+    ap.add_argument("--size", type=int, default=4096)
+    ap.add_argument("--stage", default="all",
+                    choices=["detect", "kernel", "full", "all"])
+    args = ap.parse_args()
+    n, s = args.frames, args.size
 
-# 2. detection chunk sweep (the lean pipeline's detect loop, standalone jit)
-import functools
-@functools.partial(jax.jit, static_argnames=("c",))
-def detect_all(frames, bias, c):
-    n = frames.shape[0]
-    cfg = PipelineConfig(max_stars=48, match_k=10, detect_topk="tile",
-                         detect_fast=True, detect_bin_rows=True)
-    def detect(frame, ce, s):
-        return find_stars(frame - ce, fwhm=cfg.fwhm,
-                          threshold=cfg.detect_nsigma * s,
-                          max_stars=cfg.max_stars, topk_mode="tile",
-                          mode="fast", stats=False, bin_rows=True)
-    parts = []
-    token = jnp.float32(0.0)
-    for k in range(0, n, c):
-        chunk, _tok = jax.lax.optimization_barrier((frames[k:k + c], token))
-        calc = calibrate_batch(chunk, bias, None, None, None)
-        ce, s = frame_noise_stats(calc)
-        part = jax.vmap(detect)(calc, ce, s)
-        token = jax.lax.optimization_barrier(part.x[0, 0])
-        parts.append(part)
-    xs = jnp.concatenate([p.x for p in parts], axis=0)
-    return jnp.sum(xs)
+    frames_d, bias_d = make_inputs(n, s)
+    cfg = PipelineConfig(max_stars=48, match_k=10, detect_mode="chunked",
+                         detect_chunk=2, detect_topk="tile",
+                         detect_fast=True, detect_bin_rows=True,
+                         warp_span=8, fused_apron=False)
 
-for c in (2, 4, 10):
-    try:
-        timeit(f"detect chunk={c}", lambda c=c: float(detect_all(frames_d, bias_d, c)))
-    except Exception as e:
-        print(f"detect chunk={c} failed: {type(e).__name__} {str(e)[:120]}", flush=True)
+    def sync(x):
+        return float(jnp.sum(x))
 
-# 3. full lean pipeline (current bench config) for reference
-cfg = PipelineConfig(max_stars=48, match_k=10, detect_mode="chunked",
-                     detect_chunk=2, detect_topk="tile", detect_fast=True,
-                     detect_bin_rows=True, warp_span=8, fused_apron=False)
-def full():
-    out, _ = calibrate_register_stack_lean(frames_d, bias=bias_d, config=cfg)
-    return sync(out)
-timeit("full lean pipeline", full)
+    def timeit(label, fn, reps=3):
+        fn()
+        ts = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            fn()
+            ts.append(time.perf_counter() - t0)
+        best = min(ts)
+        print(f"{label}: {best * 1000:.1f} ms "
+              f"({n * s * s / best / 1e9:.2f} GPix/s)", flush=True)
+
+    if args.stage in ("detect", "all"):
+        @jax.jit
+        def det_only(fr, b):
+            st = _detect_stars_fused(fr, b, None, None,
+                                     jnp.ones((n,), jnp.float32), cfg)
+            return jnp.sum(st.x) + jnp.sum(st.flux)
+
+        timeit("fused detect stage", lambda: float(det_only(frames_d,
+                                                            bias_d)))
+
+    if args.stage in ("kernel", "all"):
+        ones = jnp.ones((s, s), jnp.float32)
+        masters = jnp.stack([ones, jnp.asarray(bias_d),
+                             jnp.zeros((s, s), jnp.float32)])
+        rng = np.random.default_rng(3)
+        mats = []
+        for f in range(n):
+            tx, ty = (0.0, 0.0) if f == 0 else rng.uniform(-4, 4, 2)
+            mats.append([[1.0, 0.0, tx], [0.0, 1.0, ty]])
+        mats_d = jnp.asarray(np.asarray(mats, np.float32))
+
+        def kern():
+            out = pallas_warp_combine(frames_d, mats_d, masters=masters,
+                                      span=8, apron=False)
+            return sync(out)
+
+        timeit("fused warp+combine kernel", kern)
+
+    if args.stage in ("full", "all"):
+        def full():
+            out, _ = calibrate_register_stack_lean(frames_d, bias=bias_d,
+                                                   config=cfg)
+            return sync(out)
+
+        timeit("full lean pipeline", full)
+
+
+if __name__ == "__main__":
+    main()
