@@ -105,14 +105,22 @@ class PipelineConfig:
     fused_apron: bool = True
 
 
+def _noise_row_stride(h: int) -> int:
+    """Row stride for the noise-stat subsample: ~64 full rows on large
+    frames (>= 256k px/frame at 4k width — std error ~0.1%, far below
+    the nsigma threshold's sensitivity), denser on small frames so
+    tiny test images keep a meaningful sample."""
+    return max(8, min(64, h // 64))
+
+
 @functools.partial(jax.jit, static_argnames=("center",))
 def frame_noise_stats(frames: jnp.ndarray,
                       center: str = "mean") -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Per-frame (center, robust std) for detection thresholds, on an
-    8x row-subsampled grid.  Rows only: a lane-axis (column) stride
-    reads ~10x slower than contiguous lanes on TPU, so every 8th FULL
-    row is both cheaper and a larger sample than the ::4,::4 grid it
-    replaces.
+    """Per-frame (center, robust std) for detection thresholds, on a
+    row-subsampled grid (:func:`_noise_row_stride`).  Rows only: a
+    lane-axis (column) stride reads ~10x slower than contiguous lanes
+    on TPU, so full rows are both cheaper and a larger sample than a
+    2-D stride grid.
 
     ``center='mean'`` (default): 3 iterations of mean/std clipping — no
     sorts in the hot path; the clipped mean tracks the median to
@@ -121,7 +129,8 @@ def frame_noise_stats(frames: jnp.ndarray,
     sigma_clipped_stats median/std semantics (the reference's
     ApFindStars.py:142-154), one full sort of the subsample per frame.
     """
-    sub = frames[:, ::8, :].reshape(frames.shape[0], -1)
+    st = _noise_row_stride(frames.shape[1])
+    sub = frames[:, ::st, :].reshape(frames.shape[0], -1)
     return _noise_stats_from_sub(sub, center)
 
 
@@ -190,11 +199,12 @@ def _detect_stars_fused(frames, bias, dark, flat, exp_ratios,
         _calibration_planes(bias, dark, flat, config.dark_still_biased, h, w)
 
     # per-frame noise stats on calibrated SUBSAMPLED rows only
-    rows = frames[:, ::8, :].astype(jnp.float32)
+    st = _noise_row_stride(h)
+    rows = frames[:, ::st, :].astype(jnp.float32)
     if has_masters:
-        a_r = a_full[::8] if a_full is not None else 1.0
-        cal_sub = rows * a_r - b_plane[::8] \
-            - exp_ratios[:, None, None] * c_plane[::8]
+        a_r = a_full[::st] if a_full is not None else 1.0
+        cal_sub = rows * a_r - b_plane[::st] \
+            - exp_ratios[:, None, None] * c_plane[::st]
     else:
         cal_sub = rows
     ce, std = _noise_stats_from_sub(cal_sub.reshape(n, -1),

@@ -90,12 +90,36 @@ def master_densities(bias, dark_used, flat, fwhm: float = 3.0):
     return jnp.stack([mb, mc])
 
 
+def _lane_filter_matrix(gc, r):
+    """(384, 256) banded lane-convolution matrix for the MXU matmul
+    formulation of the horizontal filter pass.
+
+    For a 128-lane output tile at absolute columns [128t, 128t+128),
+    the input window is columns [128t-128, 128t+256) (a static
+    384-lane slice of the side-padded row buffer).  Output column j
+    takes taps from window columns 128+j-r .. 128+j+r; result columns
+    0-127 carry the Gaussian-weighted sum (weights ``gc``), columns
+    128-255 the box sum (weight 1) — one matmul produces both filter
+    channels for the stacked [g-rows; box-rows] operand."""
+    b = np.zeros((384, 256), np.float32)
+    for j in range(128):
+        for s in range(2 * r + 1):
+            k = 128 + j - r + s
+            b[k, j] = gc[s]
+            b[k, 128 + j] = 1.0
+    return b
+
+
 def _make_kernel(n, band, w, h2, r, gr, gc, mean_w, inv_den,
                  has_mf, has_flat):
     hw = 2 * band          # raw rows per band block
     bh = band + 2 * r + 2  # binned rows incl. conv+peak halo
     tyn = band // _TTY
     txn = w // _TTX
+    nr = band + 2          # density rows incl. 1-row peak halo
+    nrp = -(-nr // 16) * 16  # bf16 sublane-aligned row stride
+    sum_gr = float(np.sum(np.asarray(gr, np.float32)))
+    nbox = float(2 * r + 1)
 
     def kernel(scal_ref, *refs):
         pos = 0
@@ -104,9 +128,12 @@ def _make_kernel(n, band, w, h2, r, gr, gc, mean_w, inv_den,
             a3 = refs[pos:pos + 3]; pos += 3
         if has_mf:
             mf3 = refs[pos:pos + 3]; pos += 3
+        b_ref = refs[pos]; pos += 1
         out_max = refs[pos]
         out_idx = refs[pos + 1]
         bin_ref = refs[pos + 2]
+        xp_ref = refs[pos + 3]
+        dens_ref = refs[pos + 4]
         t = pl.program_id(0)
         f = pl.program_id(1)
         halo = r + 1  # binned halo rows needed on each side
@@ -141,26 +168,37 @@ def _make_kernel(n, band, w, h2, r, gr, gc, mean_w, inv_den,
 
         # column (binned-row) conv: rows [1, band + 2r + 1) of the
         # scratch = density rows [t*band - 1, (t+1)*band + 1)
-        nr = band + 2          # density rows incl. 1-row peak halo
         gcol = None
         bcol = None
         for k in range(2 * r + 1):
             sl = bin_ref[k:k + nr, :]
             gcol = sl * gr[k] if gcol is None else gcol + sl * gr[k]
             bcol = sl if bcol is None else bcol + sl
-        # row (lane) conv, full width via static rotates: slicing to
-        # the interior + lane-axis concatenates crashed the remote
-        # Mosaic compiler; wrapped edge columns are excluded by the
-        # border mask below (contamination reach r + 1 < r + 2)
         neg = jnp.float32(-3.0e38)
-        g2 = None
-        b2 = None
-        for s in range(2 * r + 1):
-            gsl = pltpu.roll(gcol, (r - s) % w, axis=1)
-            bsl = pltpu.roll(bcol, (r - s) % w, axis=1)
-            g2 = gsl * gc[s] if g2 is None else g2 + gsl * gc[s]
-            b2 = bsl if b2 is None else b2 + bsl
-        dens = (g2 - mean_w * b2) * inv_den       # (nr, w)
+        # row (lane) conv as banded bf16 MXU matmuls per 128-lane tile
+        # (replaces 2*(2r+1) full-width pltpu.rolls — the kernel's
+        # dominant VMEM traffic).  The filter has zero DC response
+        # (gsum/n * box exactly cancels the constant term), so a scalar
+        # background is subtracted BEFORE the bf16 cast: exact in f32,
+        # and it removes the large common term whose cancellation would
+        # otherwise amplify bf16 rounding into the density values.
+        c0 = jnp.mean(bin_ref[halo:halo + band, :])
+        xp_ref[0:nr, 128:128 + w] = (gcol - c0 * sum_gr) \
+            .astype(jnp.bfloat16)
+        xp_ref[nrp:nrp + nr, 128:128 + w] = (bcol - c0 * nbox) \
+            .astype(jnp.bfloat16)
+        zpad = jnp.zeros((2 * nrp, 128), jnp.bfloat16)
+        xp_ref[:, 0:128] = zpad      # side pads: taps beyond the frame
+        xp_ref[:, 128 + w:] = zpad   # edge read zeros (border-masked)
+        for t2 in range(w // 128):
+            xwin = xp_ref[:, 128 * t2:128 * t2 + 384]
+            prod = jnp.dot(xwin, b_ref[:, :],
+                           preferred_element_type=jnp.float32)
+            g2t = prod[0:nr, 0:128]
+            b2t = prod[nrp:nrp + nr, 128:256]
+            dens_ref[0:nr, 128 * t2:128 * (t2 + 1)] = \
+                (g2t - mean_w * b2t) * inv_den
+        dens = dens_ref[0:nr, :]                  # (nr, w)
         if has_mf:
             exp_r = scal_ref[f, 1]
             mprev = mf3[0]
@@ -173,21 +211,18 @@ def _make_kernel(n, band, w, h2, r, gr, gc, mean_w, inv_den,
             dens = dens - sub
 
         # 3x3 local maxima with the raster tie-break (ops/detect):
-        # strict > against raster-earlier neighbors, >= against later
+        # strict > against raster-earlier neighbors, >= against later.
+        # One 3-lane max of the WHOLE density block serves both the up
+        # and down rows (its row slices are free), so the neighborhood
+        # costs 4 rolls instead of 8; wrap columns are border-masked
         core = dens[1:1 + band, :]
-        up = dens[0:band, :]
-        dn = dens[2:2 + band, :]
 
         def sc(x, d):
-            # static column rotate; wrap columns are border-masked
             return pltpu.roll(x, d % w, axis=1)
 
-        earlier = jnp.maximum(
-            jnp.maximum(sc(up, 1), up),
-            jnp.maximum(sc(up, -1), sc(core, 1)))
-        later = jnp.maximum(
-            jnp.maximum(sc(core, -1), sc(dn, 1)),
-            jnp.maximum(dn, sc(dn, -1)))
+        dm = jnp.maximum(jnp.maximum(sc(dens, 1), dens), sc(dens, -1))
+        earlier = jnp.maximum(dm[0:band, :], sc(core, 1))
+        later = jnp.maximum(dm[2:2 + band, :], sc(core, -1))
 
         thr = scal_ref[f, 0]
         rows_g = t * band + jax.lax.broadcasted_iota(jnp.int32, (band, w), 0)
@@ -298,6 +333,10 @@ def pallas_detect_tiles(
     operands = []
     for a in args:
         operands += [a, a, a]
+    # constant banded lane-filter matrix for the MXU matmul pass (its
+    # index map never moves, so Mosaic fetches it once)
+    in_specs.append(pl.BlockSpec((384, 256), lambda t, f, scal_ref: (0, 0)))
+    operands.append(jnp.asarray(_lane_filter_matrix(gc, r), jnp.bfloat16))
 
     tyn = band // _TTY
     txn = w // _TTX
@@ -318,7 +357,15 @@ def pallas_detect_tiles(
             pl.BlockSpec((1, 8, 128), lambda t, f, *_: (f, t, 0)),
             pl.BlockSpec((1, 8, 128), lambda t, f, *_: (f, t, 0)),
         ],
-        scratch_shapes=[pltpu.VMEM((band + 2 * (r + 1), w), jnp.float32)],
+        scratch_shapes=[
+            pltpu.VMEM((band + 2 * (r + 1), w), jnp.float32),
+            # stacked [g-rows; box-rows] operand for the lane-filter
+            # matmuls, 128 pad lanes each side, bf16 sublane-aligned
+            # row stride between the two channels
+            pltpu.VMEM((2 * (-(-(band + 2) // 16) * 16), w + 256),
+                       jnp.bfloat16),
+            pltpu.VMEM((band + 2, w), jnp.float32),
+        ],
     )
     maxv, idx = pl.pallas_call(
         kernel,

@@ -109,12 +109,14 @@ def _frame_bases(mats_ref, f, i, j, th, tw, span):
 
 
 def _tile_window_origins(mats6, n_ti, n_tj, th, tw, span,
-                         npi, npj, vb, hb, oy, ox):
+                         npi, npj, vb, hb, oy, ox, bh, bw):
     """Frame-independent per-tile window origins (padded block coords).
 
     For every tile, the union over frames of the kernel's tap-range
     bases (same corner formulas as :func:`_frame_bases`, vectorized),
-    floored to the block grid and clipped so a VBxHB neighborhood stays
+    floored to the DELIVERY-block grid (``bh`` x ``bw`` — a sub-tile
+    granularity, so quantization wastes at most bh-1/bw-1 pixels
+    instead of a full tile) and clipped so a VBxHB neighborhood stays
     in range.  Returns int32 (n_ti, n_tj) arrays (byp, bxp)."""
     m = mats6.astype(jnp.float32)
     m10, m11, m12 = m[:, 3], m[:, 4], m[:, 5]
@@ -148,31 +150,31 @@ def _tile_window_origins(mats6, n_ti, n_tj, th, tw, span,
     # median-centering keeps the majority contained and lets the
     # outlier be the one excluded.  The margin is half the slack that
     # REMAINS after block quantization (floor_divide can place the
-    # window start up to a full block-1 below the target, adding th-1 /
-    # tw-1 to the offset) — a naive half-window margin plus that
+    # window start up to a full block-1 below the target, adding bh-1 /
+    # bw-1 to the offset) — a naive half-window margin plus that
     # rounding overflowed containment for unlucky translations
     thp = -(-(th + span) // 8) * 8
-    margin_y = max((vb * th - thp - (th - 1)) // 2, 0)
-    margin_x = max((hb * tw - (tw + span) - (tw - 1)) // 2, 0)
+    margin_y = max((vb * bh - thp - (bh - 1)) // 2, 0)
+    margin_x = max((hb * bw - (tw + span) - (bw - 1)) // 2, 0)
     vmed = jnp.median(vbase, axis=0).astype(jnp.int32)
     umed = jnp.median(ubase, axis=0).astype(jnp.int32)
-    byp = jnp.clip(jnp.floor_divide(vmed - margin_y, th) + oy,
+    byp = jnp.clip(jnp.floor_divide(vmed - margin_y, bh) + oy,
                    0, npi - vb)
-    bxp = jnp.clip(jnp.floor_divide(umed - margin_x, tw) + ox,
+    bxp = jnp.clip(jnp.floor_divide(umed - margin_x, bw) + ox,
                    0, npj - hb)
     return byp.astype(jnp.int32), bxp.astype(jnp.int32)
 
 
-def _make_kernel(n, th, tw, span, h_in, w_in, vb, oy, ox,
+def _make_kernel(n, th, tw, span, h_in, w_in, vb, hb, bh, bw, oy, ox,
                  sigma_lo, sigma_hi, align, combine, has_masters,
                  fgroup=1):
-    wh = vb * th     # window height
-    ww = 3 * tw      # window width
+    wh = vb * bh     # window height
+    ww = hb * bw     # window width
     thp = -(-(th + span) // 8) * 8       # extracted rows (sublane-padded)
     twp = -(-(tw + span) // 128) * 128   # aligned cols (lane-padded)
 
     def kernel(mats_ref, byp_ref, bxp_ref, *refs):
-        nblk = vb * 3
+        nblk = vb * hb
         blocks = refs[:nblk]
         n_in = 2 * nblk if has_masters else nblk
         mblocks = refs[nblk:2 * nblk] if has_masters else None
@@ -183,8 +185,8 @@ def _make_kernel(n, th, tw, span, h_in, w_in, vb, oy, ox,
         j = pl.program_id(1)
         grp = pl.program_id(2)
 
-        win_y0 = (byp_ref[i, j] - oy) * th
-        win_x0 = (bxp_ref[i, j] - ox) * tw
+        win_y0 = (byp_ref[i, j] - oy) * bh
+        win_x0 = (bxp_ref[i, j] - ox) * bw
         # output-pixel coordinates (shared by every frame of the group)
         rr = jax.lax.broadcasted_iota(jnp.int32, (th, tw), 0) \
             .astype(jnp.float32)
@@ -226,28 +228,28 @@ def _make_kernel(n, th, tw, span, h_in, w_in, vb, oy, ox,
         flux_s = mats_ref[f, 7]
 
         def assemble_row(dy):
-            for dx in range(3):
-                raw_blk = blocks[dy * 3 + dx][g]
+            for dx in range(hb):
+                raw_blk = blocks[dy * hb + dx][g]
                 if raw_blk.dtype == jnp.uint16:
                     # Mosaic lacks a direct u16->f32 cast
                     raw = raw_blk.astype(jnp.int32).astype(jnp.float32)
                 else:
                     raw = raw_blk.astype(jnp.float32)
                 if has_masters:
-                    mb = mblocks[dy * 3 + dx]
+                    mb = mblocks[dy * hb + dx]
                     cal_blk = (raw * mb[0] - mb[1] - exp_r * mb[2]) \
                         * flux_s  # A, B, C planes, then FSCALE
                 else:
                     # pre-calibrated input: FSCALE only (no identity
                     # master planes are delivered or multiplied)
                     cal_blk = raw * flux_s
-                win_ref[dy * th:(dy + 1) * th, dx * tw:(dx + 1) * tw] = \
+                win_ref[dy * bh:(dy + 1) * bh, dx * bw:(dx + 1) * bw] = \
                     cal_blk
 
         for dy in range(vb):
             if align == "roll":
-                row_needed = (((dy + 1) * th > offy)
-                              & (dy * th < offy + th + span))
+                row_needed = (((dy + 1) * bh > offy)
+                              & (dy * bh < offy + th + span))
                 pl.when(row_needed)(functools.partial(assemble_row, dy))
             else:
                 assemble_row(dy)
@@ -452,7 +454,7 @@ def _make_kernel(n, th, tw, span, h_in, w_in, vb, oy, ox,
                                     "sigma_upper", "apron", "align",
                                     "combine", "dither_budget",
                                     "snap_tol", "frame_group",
-                                    "interpret"))
+                                    "block_div", "interpret"))
 def pallas_warp_combine(
     cal: jnp.ndarray,
     matrices: jnp.ndarray,
@@ -471,6 +473,7 @@ def pallas_warp_combine(
     v_bounds: "jnp.ndarray | None" = None,
     snap_geom: "jnp.ndarray | None" = None,
     frame_group: "int | None" = None,
+    block_div: "Tuple[int, int] | None" = None,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Warp every frame by its matrix and sigma-clip-combine, fused —
@@ -517,6 +520,7 @@ def pallas_warp_combine(
                                    snap_tol=snap_tol, v_bounds=v_bounds,
                                    snap_geom=snap_geom,
                                    frame_group=frame_group,
+                                   block_div=block_div,
                                    interpret=True)
     if combine not in ("average", "median", "sum", "mean"):
         raise ValueError(f"unknown combine '{combine}'")
@@ -535,6 +539,25 @@ def pallas_warp_combine(
     th, tw = tile
     if th <= span:
         raise ValueError("tile height must exceed span")
+    # source-window DELIVERY blocks: tile-sized by default.  block_div
+    # = (ky, kx) subdivides them (bh = th/ky, bw = tw/kx), shrinking
+    # the per-tile window toward the minimum that covers taps +
+    # quantization + dither — less HBM re-read and smaller roll
+    # buffers, but MORE block positions (DMA descriptors) per grid
+    # step.  Measured on v5e at 100x4096^2: (2, 2) cut window bytes
+    # ~2.4x yet gained only ~4% (and tripled compile time) — per-DMA
+    # fixed costs offset the byte savings, so the default stays (1, 1).
+    if block_div is None:
+        block_div = (1, 1)
+    ky, kx = block_div
+    if th % ky or (ky > 1 and (th // ky) % 16):
+        raise ValueError(f"block_div {block_div}: tile height {th} must "
+                         f"split into multiples of 16 (uint16 sublane tile)")
+    if tw % kx or (kx > 1 and (tw // kx) % 128):
+        raise ValueError(f"block_div {block_div}: tile width {tw} must "
+                         f"split into multiples of 128 (lane tile)")
+    bh = th // ky
+    bw = tw // kx
     # round the image up to the tile grid; coverage bounds use the true
     # geometry so padded pixels never contribute
     ph = (-h0) % th
@@ -543,13 +566,13 @@ def pallas_warp_combine(
     n_ti, n_tj = h // th, w // tw
 
     if apron:
-        # zero apron: 2 blocks top/bottom, 1 block left/right, so window
+        # zero apron: 2 tiles top/bottom, 1 tile left/right, so window
         # origins stay in range for any |translation| up to a tile; one
         # combined pad (sequential pads would each copy the stack)
         cal_p = jnp.pad(cal, ((0, 0), (2 * th, 2 * th + ph), (tw, tw + pw)))
-        npi = n_ti + 4   # padded block rows
-        npj = n_tj + 2   # padded block cols
-        oy, ox = 2, 1
+        npi = (h + 4 * th) // bh   # padded DELIVERY-block rows
+        npj = (w + 2 * tw) // bw   # padded DELIVERY-block cols
+        oy, ox = (2 * th) // bh, tw // bw
     else:
         # apron-free (memory-critical stacks): no padded copy at all;
         # edge tiles whose windows would need the apron are excluded
@@ -561,15 +584,21 @@ def pallas_warp_combine(
             cal_p = jnp.pad(cal, ((0, 0), (0, ph), (0, pw)))
         else:
             cal_p = cal
-        npi = n_ti
-        npj = n_tj
+        npi = h // bh
+        npj = w // bw
         oy, ox = 0, 0
-    # vertical window: the dither-spread slack is vb*th - thp - (th-1);
-    # use the fewest blocks that absorb dither_budget (each extra block
-    # row costs a quarter of the per-step raw DMA and 3 operands)
+    # window extents in delivery blocks: the fewest that cover the tap
+    # range (thp / tw+span), the block quantization of the origin
+    # (bh-1 / bw-1), and the dither_budget spread (each extra block
+    # costs DMA and an operand pair)
     thp_est = -(-(th + span) // 8) * 8
-    vb = 3 if 3 * th - thp_est - (th - 1) >= dither_budget else 4
-    vb = min(vb, max(npi, 3))
+    twp_est = -(-(tw + span) // 128) * 128
+    vb = max(-(-(thp_est + bh - 1 + dither_budget) // bh),
+             -(-thp_est // bh))
+    hb = max(-(-(tw + span + bw - 1 + dither_budget) // bw),
+             -(-twp_est // bw))
+    vb = min(vb, max(npi, -(-thp_est // bh)))
+    hb = min(hb, max(npj, -(-twp_est // bw)))
     # when even the largest window cannot absorb dither_budget (small
     # tiles), frames beyond the slack degrade gracefully: base_ok
     # excludes them per tile instead of resampling out-of-window data
@@ -624,7 +653,7 @@ def pallas_warp_combine(
          jnp.broadcast_to(vlo_v, (n, 1)),
          jnp.broadcast_to(vhi_v, (n, 1))], axis=1)  # (n, 11)
     byp, bxp = _tile_window_origins(mats6, n_ti, n_tj, th, tw, span,
-                                    npi, npj, vb, 3, oy, ox)
+                                    npi, npj, vb, hb, oy, ox, bh, bw)
 
     has_masters = masters is not None
     if has_masters:
@@ -661,18 +690,18 @@ def pallas_warp_combine(
             return (0, byp_ref[i, j] + dy, bxp_ref[i, j] + dx)
         return index_map
 
-    in_specs = [pl.BlockSpec((fgroup, th, tw), make_map(dy, dx))
-                for dy in range(vb) for dx in range(3)]
+    in_specs = [pl.BlockSpec((fgroup, bh, bw), make_map(dy, dx))
+                for dy in range(vb) for dx in range(hb)]
     if has_masters:
-        # master windows: one (3, th, tw) block per neighborhood
+        # master windows: one (3, bh, bw) block per neighborhood
         # position; their index maps are frame-independent, so Mosaic
         # revisiting fetches each tile's master window once, not once
         # per frame.  Pre-calibrated (masters=None) input skips these
         # operands entirely.
-        in_specs += [pl.BlockSpec((3, th, tw), make_mmap(dy, dx))
-                     for dy in range(vb) for dx in range(3)]
+        in_specs += [pl.BlockSpec((3, bh, bw), make_mmap(dy, dx))
+                     for dy in range(vb) for dx in range(hb)]
 
-    kernel = _make_kernel(n, th, tw, span, h0, w0, vb, oy, ox,
+    kernel = _make_kernel(n, th, tw, span, h0, w0, vb, hb, bh, bw, oy, ox,
                           float(sigma_lower), float(sigma_upper),
                           align, combine, has_masters, fgroup=fgroup)
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -682,7 +711,7 @@ def pallas_warp_combine(
         out_specs=pl.BlockSpec((th, tw), lambda i, j, f, *_: (i, j)),
         scratch_shapes=[
             pltpu.VMEM((n, th, tw), jnp.float32),
-            pltpu.VMEM((vb * th, 3 * tw), jnp.float32),
+            pltpu.VMEM((vb * bh, hb * bw), jnp.float32),
         ],
     )
     out = pl.pallas_call(
@@ -694,6 +723,6 @@ def pallas_warp_combine(
         # than the 16 MB default (measured 16.4 MB)
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=110 * 1024 * 1024),
         interpret=interpret,
-    )(mats, byp, bxp, *([cal_p] * (vb * 3)),
-      *(([mast_p] * (vb * 3)) if has_masters else []))
+    )(mats, byp, bxp, *([cal_p] * (vb * hb)),
+      *(([mast_p] * (vb * hb)) if has_masters else []))
     return out[:h0, :w0]

@@ -305,3 +305,15 @@ def test_fused_matches_unfused_random_transforms():
         tol = 0.5 + 1e-4 * np.abs(ref[inner])
         assert (err > tol).mean() < 1e-4, (trial, float(err.max()))
         np.testing.assert_array_equal(got == 0.0, ref == 0.0)
+
+
+def test_block_div_delivery_matches_whole_tile():
+    """block_div sub-tile delivery windows change only HOW source data
+    reaches VMEM — output must match the whole-tile default exactly."""
+    cal, mats = _make_inputs(n=4, h=96, w=256, seed=7)
+    base = np.asarray(pallas_warp_combine(cal, mats, tile=(32, 128),
+                                          interpret=True))
+    div = np.asarray(pallas_warp_combine(cal, mats, tile=(32, 128),
+                                         block_div=(2, 1),
+                                         interpret=True))
+    np.testing.assert_allclose(div, base, rtol=1e-6, atol=1e-3)

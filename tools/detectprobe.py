@@ -1,0 +1,68 @@
+"""Break the fused detect stage into its pieces and time each on TPU.
+
+Pieces: (a) the pallas_detect_tiles kernel alone, (b) noise stats on
+subsampled rows, (c) the post-kernel top-k + centroid path.
+"""
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from astrophotography_tpu.models import PipelineConfig
+from astrophotography_tpu.models.pipeline import (
+    _detect_stars_fused, _noise_stats_from_sub)
+from astrophotography_tpu.ops.pallas_detect import pallas_detect_tiles
+from tools.stagebench import make_inputs
+
+
+def timeit(label, fn, reps=3):
+    fn()
+    ts = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        fn()
+        ts.append(time.perf_counter() - t0)
+    print(f"{label}: {min(ts) * 1000:.1f} ms", flush=True)
+
+
+def main():
+    n, s = 100, 4096
+    frames_d, bias_d = make_inputs(n, s)
+    cfg = PipelineConfig(max_stars=48, match_k=10, detect_mode="chunked",
+                         detect_chunk=2, detect_topk="tile",
+                         detect_fast=True, detect_bin_rows=True,
+                         warp_span=8, fused_apron=False)
+    thr = jnp.full((n,), 60.0, jnp.float32)
+
+    @jax.jit
+    def kern_only(fr):
+        mv, ix = pallas_detect_tiles(fr, thr, mf_bc=None, a_plane=None,
+                                     fwhm=cfg.fwhm, band=128)
+        return jnp.sum(mv) + jnp.sum(ix)
+
+    timeit("pallas_detect_tiles kernel", lambda: float(kern_only(frames_d)))
+
+    @jax.jit
+    def noise_only(fr):
+        rows = fr[:, ::8, :].astype(jnp.float32)
+        ce, std = _noise_stats_from_sub(rows.reshape(n, -1), "mean")
+        return jnp.sum(ce) + jnp.sum(std)
+
+    timeit("noise stats (rows ::8)", lambda: float(noise_only(frames_d)))
+
+    @jax.jit
+    def full(fr, b):
+        st = _detect_stars_fused(fr, b, None, None,
+                                 jnp.ones((n,), jnp.float32), cfg)
+        return jnp.sum(st.x) + jnp.sum(st.flux)
+
+    timeit("full fused detect stage", lambda: float(full(frames_d, bias_d)))
+
+
+if __name__ == "__main__":
+    main()
