@@ -181,6 +181,7 @@ def _make_kernel(n, th, tw, span, h_in, w_in, vb, hb, bh, bw, oy, ox,
         out_ref = refs[n_in]
         rows_ref = refs[n_in + 1]
         win_ref = refs[n_in + 2]
+        ms_ref = refs[n_in + 3]
         i = pl.program_id(0)
         j = pl.program_id(1)
         grp = pl.program_id(2)
@@ -206,7 +207,7 @@ def _make_kernel(n, th, tw, span, h_in, w_in, vb, hb, bh, bw, oy, ox,
                       i, j, grp * fgroup + g, g, win_y0, win_x0,
                       rr, cc, y_out, x_out, vlo, vhi, big)
 
-        _run_combine(rows_ref, out_ref, grp, big)
+        _run_combine(rows_ref, out_ref, ms_ref, grp, big)
 
     def _warp_one(mats_ref, blocks, mblocks, rows_ref, win_ref,
                   i, j, f, g, win_y0, win_x0, rr, cc, y_out, x_out,
@@ -364,7 +365,7 @@ def _make_kernel(n, th, tw, span, h_in, w_in, vb, hb, bh, bw, oy, ox,
                 safe2, acc2 / jnp.where(safe2, wsum2, 1.0), 0.0)
             rows_ref[f] = jnp.where(cover, warped, big)
 
-    def _run_combine(rows_ref, out_ref, grp, big):
+    def _run_combine(rows_ref, out_ref, ms_ref, grp, big):
         @pl.when(grp == n // fgroup - 1)
         def _():
             frames = [rows_ref[k] for k in range(n)]
@@ -390,15 +391,31 @@ def _make_kernel(n, th, tw, span, h_in, w_in, vb, hb, bh, bw, oy, ox,
                 lo = jnp.minimum(srt[a], srt[b])
                 hi = jnp.maximum(srt[a], srt[b])
                 srt[a], srt[b] = lo, hi
+            # full-coverage fast path: on interior tiles every frame
+            # covers every pixel, so the median/MAD ranks are the
+            # COMPILE-TIME constants (n-1)//2, n//2 and the n-step
+            # rank-select where-chains collapse to static picks.  The
+            # whole-tile predicate dispatches between the two variants;
+            # ms_ref scratch carries med (then std) across the shared
+            # deviation-merge stage.
+            full_tile = jnp.min(counti) >= n
             lo_idx = jnp.maximum((counti - 1) // 2, 0)
             hi_idx = jnp.maximum(counti // 2, 0)
-            med_lo = jnp.zeros((th, tw), jnp.float32)
-            med_hi = jnp.zeros((th, tw), jnp.float32)
-            for k in range(n):
-                med_lo = jnp.where(lo_idx == k, srt[k], med_lo)
-                med_hi = jnp.where(hi_idx == k, srt[k], med_hi)
-            med = 0.5 * (med_lo + med_hi)
 
+            @pl.when(full_tile)
+            def _med_static():
+                ms_ref[:, :] = 0.5 * (srt[(n - 1) // 2] + srt[n // 2])
+
+            @pl.when(jnp.logical_not(full_tile))
+            def _med_select():
+                med_lo = jnp.zeros((th, tw), jnp.float32)
+                med_hi = jnp.zeros((th, tw), jnp.float32)
+                for k in range(n):
+                    med_lo = jnp.where(lo_idx == k, srt[k], med_lo)
+                    med_hi = jnp.where(hi_idx == k, srt[k], med_hi)
+                ms_ref[:, :] = 0.5 * (med_lo + med_hi)
+
+            med = ms_ref[:, :]
             # deviations of the SORTED values form a valley (descending
             # to the median, then ascending; invalid entries hold the
             # big sentinel, so their deviations are maximal and already
@@ -409,13 +426,22 @@ def _make_kernel(n, th, tw, span, h_in, w_in, vb, hb, bh, bw, oy, ox,
                 lo = jnp.minimum(devs[a], devs[b])
                 hi = jnp.maximum(devs[a], devs[b])
                 devs[a], devs[b] = lo, hi
-            mad_lo = jnp.zeros((th, tw), jnp.float32)
-            mad_hi = jnp.zeros((th, tw), jnp.float32)
-            for k in range(n):
-                mad_lo = jnp.where(lo_idx == k, devs[k], mad_lo)
-                mad_hi = jnp.where(hi_idx == k, devs[k], mad_hi)
-            std = _MAD_TO_STD * 0.5 * (mad_lo + mad_hi)
 
+            @pl.when(full_tile)
+            def _mad_static():
+                ms_ref[:, :] = _MAD_TO_STD * 0.5 \
+                    * (devs[(n - 1) // 2] + devs[n // 2])
+
+            @pl.when(jnp.logical_not(full_tile))
+            def _mad_select():
+                mad_lo = jnp.zeros((th, tw), jnp.float32)
+                mad_hi = jnp.zeros((th, tw), jnp.float32)
+                for k in range(n):
+                    mad_lo = jnp.where(lo_idx == k, devs[k], mad_lo)
+                    mad_hi = jnp.where(hi_idx == k, devs[k], mad_hi)
+                ms_ref[:, :] = _MAD_TO_STD * 0.5 * (mad_lo + mad_hi)
+
+            std = ms_ref[:, :]
             lo_b = med - sigma_lo * std
             hi_b = med + sigma_hi * std
             acc3 = jnp.zeros((th, tw), jnp.float32)
@@ -712,6 +738,7 @@ def pallas_warp_combine(
         scratch_shapes=[
             pltpu.VMEM((n, th, tw), jnp.float32),
             pltpu.VMEM((vb * bh, hb * bw), jnp.float32),
+            pltpu.VMEM((th, tw), jnp.float32),
         ],
     )
     out = pl.pallas_call(

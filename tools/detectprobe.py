@@ -64,5 +64,51 @@ def main():
     timeit("full fused detect stage", lambda: float(full(frames_d, bias_d)))
 
 
-if __name__ == "__main__":
+if __name__ == "__main__" and "--pieces" not in sys.argv:
     main()
+
+
+def probe_pieces():
+    """Extra attribution probes: kernel WITH master densities, and the
+    centroid path cost via max_stars scaling."""
+    import jax
+    import jax.numpy as jnp
+    from astrophotography_tpu.models import PipelineConfig
+    from astrophotography_tpu.models.pipeline import _detect_stars_fused
+    from astrophotography_tpu.ops.pallas_detect import (master_densities,
+                                                        pallas_detect_tiles)
+    from tools.stagebench import make_inputs
+    n, s = 100, 4096
+    frames_d, bias_d = make_inputs(n, s)
+    thr = jnp.full((n,), 60.0, jnp.float32)
+    zeros = jnp.zeros((s, s), jnp.float32)
+    mf = master_densities(bias_d, zeros, None)
+
+    @jax.jit
+    def kern_mf(fr):
+        mv, ix = pallas_detect_tiles(fr, thr, mf_bc=mf, a_plane=None,
+                                     band=128)
+        return jnp.sum(mv) + jnp.sum(ix)
+
+    timeit("kernel with master densities", lambda: float(kern_mf(frames_d)))
+
+    for ms in (1, 48):
+        cfg = PipelineConfig(max_stars=ms, match_k=10,
+                             detect_mode="chunked", detect_chunk=2,
+                             detect_topk="tile", detect_fast=True,
+                             detect_bin_rows=True, warp_span=8,
+                             fused_apron=False)
+
+        @jax.jit
+        def full(fr, b, cfg=cfg):
+            st = _detect_stars_fused(fr, b, None, None,
+                                     jnp.ones((n,), jnp.float32), cfg)
+            return jnp.sum(st.x) + jnp.sum(st.flux)
+
+        timeit(f"full stage max_stars={ms}",
+               lambda: float(full(frames_d, bias_d)))
+
+
+if __name__ == "__main__" and "--pieces" in sys.argv:
+    probe_pieces()
+    sys.exit(0)
