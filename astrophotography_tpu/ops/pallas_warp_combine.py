@@ -167,7 +167,8 @@ def _tile_window_origins(mats6, n_ti, n_tj, th, tw, span,
 
 def _make_kernel(n, th, tw, span, h_in, w_in, vb, hb, bh, bw, oy, ox,
                  sigma_lo, sigma_hi, align, combine, has_masters,
-                 fgroup=1):
+                 fgroup=1, cchunk=None):
+    cw = tw if cchunk is None else cchunk
     wh = vb * bh     # window height
     ww = hb * bw     # window width
     thp = -(-(th + span) // 8) * 8       # extracted rows (sublane-padded)
@@ -368,7 +369,17 @@ def _make_kernel(n, th, tw, span, h_in, w_in, vb, hb, bh, bw, oy, ox,
     def _run_combine(rows_ref, out_ref, ms_ref, grp, big):
         @pl.when(grp == n // fgroup - 1)
         def _():
-            frames = [rows_ref[k] for k in range(n)]
+            # static column chunks: the sort network keeps ~3 live
+            # copies of its n operand planes, so chunking the combine
+            # to (th, cw) decouples that VMEM peak from the tile width
+            # (wide tiles amortize per-grid-step costs; the combine is
+            # a small share of kernel time, so chunking it is ~free)
+            for c0 in range(0, tw, cw):
+                _combine_chunk(rows_ref, out_ref, ms_ref, big, c0)
+
+    def _combine_chunk(rows_ref, out_ref, ms_ref, big, c0):
+            cs = slice(c0, c0 + cw)
+            frames = [rows_ref[k, :, cs] for k in range(n)]
             valid = [fr < big * 0.5 for fr in frames]
             count = functools.reduce(
                 lambda a, b: a + b,
@@ -379,10 +390,10 @@ def _make_kernel(n, th, tw, span, h_in, w_in, vb, hb, bh, bw, oy, ox,
                 # plain coverage-weighted mean, no clipping: skips both
                 # Batcher sorts entirely (ccdproc method='average' with
                 # sigma_clip=False)
-                accm = jnp.zeros((th, tw), jnp.float32)
+                accm = jnp.zeros((th, cw), jnp.float32)
                 for fr, v_ in zip(frames, valid):
                     accm = accm + jnp.where(v_, fr, 0.0)
-                out_ref[:, :] = jnp.where(
+                out_ref[:, cs] = jnp.where(
                     counti > 0, accm / jnp.maximum(count, 1.0), 0.0)
                 return
 
@@ -404,18 +415,18 @@ def _make_kernel(n, th, tw, span, h_in, w_in, vb, hb, bh, bw, oy, ox,
 
             @pl.when(full_tile)
             def _med_static():
-                ms_ref[:, :] = 0.5 * (srt[(n - 1) // 2] + srt[n // 2])
+                ms_ref[:, cs] = 0.5 * (srt[(n - 1) // 2] + srt[n // 2])
 
             @pl.when(jnp.logical_not(full_tile))
             def _med_select():
-                med_lo = jnp.zeros((th, tw), jnp.float32)
-                med_hi = jnp.zeros((th, tw), jnp.float32)
+                med_lo = jnp.zeros((th, cw), jnp.float32)
+                med_hi = jnp.zeros((th, cw), jnp.float32)
                 for k in range(n):
                     med_lo = jnp.where(lo_idx == k, srt[k], med_lo)
                     med_hi = jnp.where(hi_idx == k, srt[k], med_hi)
-                ms_ref[:, :] = 0.5 * (med_lo + med_hi)
+                ms_ref[:, cs] = 0.5 * (med_lo + med_hi)
 
-            med = ms_ref[:, :]
+            med = ms_ref[:, cs]
             # deviations of the SORTED values form a valley (descending
             # to the median, then ascending; invalid entries hold the
             # big sentinel, so their deviations are maximal and already
@@ -429,24 +440,24 @@ def _make_kernel(n, th, tw, span, h_in, w_in, vb, hb, bh, bw, oy, ox,
 
             @pl.when(full_tile)
             def _mad_static():
-                ms_ref[:, :] = _MAD_TO_STD * 0.5 \
+                ms_ref[:, cs] = _MAD_TO_STD * 0.5 \
                     * (devs[(n - 1) // 2] + devs[n // 2])
 
             @pl.when(jnp.logical_not(full_tile))
             def _mad_select():
-                mad_lo = jnp.zeros((th, tw), jnp.float32)
-                mad_hi = jnp.zeros((th, tw), jnp.float32)
+                mad_lo = jnp.zeros((th, cw), jnp.float32)
+                mad_hi = jnp.zeros((th, cw), jnp.float32)
                 for k in range(n):
                     mad_lo = jnp.where(lo_idx == k, devs[k], mad_lo)
                     mad_hi = jnp.where(hi_idx == k, devs[k], mad_hi)
-                ms_ref[:, :] = _MAD_TO_STD * 0.5 * (mad_lo + mad_hi)
+                ms_ref[:, cs] = _MAD_TO_STD * 0.5 * (mad_lo + mad_hi)
 
-            std = ms_ref[:, :]
+            std = ms_ref[:, cs]
             lo_b = med - sigma_lo * std
             hi_b = med + sigma_hi * std
-            acc3 = jnp.zeros((th, tw), jnp.float32)
-            cnt = jnp.zeros((th, tw), jnp.float32)
-            below = jnp.zeros((th, tw), jnp.int32)
+            acc3 = jnp.zeros((th, cw), jnp.float32)
+            cnt = jnp.zeros((th, cw), jnp.float32)
+            below = jnp.zeros((th, cw), jnp.int32)
             for fr, v_ in zip(frames, valid):
                 keep = v_ & (fr >= lo_b) & (fr <= hi_b)
                 acc3 = acc3 + jnp.where(keep, fr, 0.0)
@@ -459,17 +470,17 @@ def _make_kernel(n, th, tw, span, h_in, w_in, vb, hb, bh, bw, oy, ox,
                 cnti = cnt.astype(jnp.int32)
                 klo = below + jnp.maximum((cnti - 1) // 2, 0)
                 khi = below + jnp.maximum(cnti // 2, 0)
-                m_lo = jnp.zeros((th, tw), jnp.float32)
-                m_hi = jnp.zeros((th, tw), jnp.float32)
+                m_lo = jnp.zeros((th, cw), jnp.float32)
+                m_hi = jnp.zeros((th, cw), jnp.float32)
                 for k in range(n):
                     m_lo = jnp.where(klo == k, srt[k], m_lo)
                     m_hi = jnp.where(khi == k, srt[k], m_hi)
-                out_ref[:, :] = jnp.where(cnt > 0, 0.5 * (m_lo + m_hi), 0.0)
+                out_ref[:, cs] = jnp.where(cnt > 0, 0.5 * (m_lo + m_hi), 0.0)
             elif combine == "sum":
                 # sum of kept values (ops/stack 'sum')
-                out_ref[:, :] = jnp.where(cnt > 0, acc3, 0.0)
+                out_ref[:, cs] = jnp.where(cnt > 0, acc3, 0.0)
             else:
-                out_ref[:, :] = jnp.where(
+                out_ref[:, cs] = jnp.where(
                     cnt > 0, acc3 / jnp.maximum(cnt, 1.0), 0.0)
 
     return kernel
@@ -480,7 +491,8 @@ def _make_kernel(n, th, tw, span, h_in, w_in, vb, hb, bh, bw, oy, ox,
                                     "sigma_upper", "apron", "align",
                                     "combine", "dither_budget",
                                     "snap_tol", "frame_group",
-                                    "block_div", "interpret"))
+                                    "block_div", "combine_chunk",
+                                    "interpret"))
 def pallas_warp_combine(
     cal: jnp.ndarray,
     matrices: jnp.ndarray,
@@ -500,6 +512,7 @@ def pallas_warp_combine(
     snap_geom: "jnp.ndarray | None" = None,
     frame_group: "int | None" = None,
     block_div: "Tuple[int, int] | None" = None,
+    combine_chunk: "int | None" = None,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Warp every frame by its matrix and sigma-clip-combine, fused —
@@ -530,7 +543,11 @@ def pallas_warp_combine(
     (0 disables).  ``v_bounds`` (2,) traced (vlo, vhi) source-row
     coverage bounds, default (2, H-4) — a row-sharded caller narrows
     them to keep taps off the zero-filled halo beyond the global image.
-    Returns (H, W).
+    ``combine_chunk`` runs the sigma-clip combine over static
+    (th, combine_chunk) column chunks so the sort network's ~3 live
+    copies of the n operand planes scale with the chunk, not the tile
+    width — the enabler for wide tiles under the scoped-VMEM cap
+    (None = whole tile).  Returns (H, W).
     """
     import jax as _jax
 
@@ -547,22 +564,31 @@ def pallas_warp_combine(
                                    snap_geom=snap_geom,
                                    frame_group=frame_group,
                                    block_div=block_div,
+                                   combine_chunk=combine_chunk,
                                    interpret=True)
     if combine not in ("average", "median", "sum", "mean"):
         raise ValueError(f"unknown combine '{combine}'")
     n, h0, w0 = cal.shape
     if tile is None:
-        # auto tile: the persistent warped-rows scratch (n*th*tw*4 B)
-        # and its sort temporaries set the compile ceiling.  With the
-        # 110 MiB scoped-VMEM limit below, (112, 512) compiles at n=100
-        # and is the measured throughput peak (4.8 GPix/s standalone);
-        # (128, 512) stalls the Mosaic compiler.  Wide/tall tiles
-        # amortize per-step grid overhead, so prefer tw=512 whenever
-        # the image is wide enough for 3 window blocks
-        tw = 512 if w0 >= 1536 else 256
-        th = min(112, max(16, (23_000_000 // (max(n, 1) * tw * 4)) // 8 * 8))
+        # auto tile: per-grid-step fixed costs (DMA descriptors +
+        # Mosaic dispatch) dominate this kernel, so fewer/bigger tiles
+        # win until the VMEM footprint degrades the scheduler's
+        # pipelining.  Measured at n=100 x 4096^2 (ms): (112,512) 220,
+        # (96,1024) 305, (80,1024)+cchunk256 206, (64,1024)+cchunk256
+        # 204.6 <- peak (and the most VMEM headroom), (80,1536) 345,
+        # fgroup=4 282.  The persistent warped-rows scratch
+        # (n*th*tw*4 B) bounds th; the chunked combine (below) keeps
+        # the sort temporaries off the tile width
+        tw = 1024 if w0 >= 3072 else (512 if w0 >= 1536 else 256)
+        budget = 27_000_000 if tw >= 1024 else 23_000_000
+        cap = 64 if tw >= 1024 else 112
+        th = min(cap, max(16, (budget // (max(n, 1) * tw * 4)) // 8 * 8))
         tile = (th, tw)
     th, tw = tile
+    if combine_chunk is None and tw >= 1024:
+        # wide tiles rely on combine chunking to fit the scoped-VMEM
+        # cap (results are chunk-invariant; see docstring)
+        combine_chunk = 256
     if th <= span:
         raise ValueError("tile height must exceed span")
     # source-window DELIVERY blocks: tile-sized by default.  block_div
@@ -727,9 +753,14 @@ def pallas_warp_combine(
         in_specs += [pl.BlockSpec((3, bh, bw), make_mmap(dy, dx))
                      for dy in range(vb) for dx in range(hb)]
 
+    if combine_chunk is not None:
+        if tw % combine_chunk or combine_chunk % 128:
+            raise ValueError(f"combine_chunk {combine_chunk} must divide "
+                             f"tile width {tw} in multiples of 128 lanes")
     kernel = _make_kernel(n, th, tw, span, h0, w0, vb, hb, bh, bw, oy, ox,
                           float(sigma_lower), float(sigma_upper),
-                          align, combine, has_masters, fgroup=fgroup)
+                          align, combine, has_masters, fgroup=fgroup,
+                          cchunk=combine_chunk)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(n_ti, n_tj, n // fgroup),

@@ -307,6 +307,51 @@ def test_fused_matches_unfused_random_transforms():
         np.testing.assert_array_equal(got == 0.0, ref == 0.0)
 
 
+def test_full_coverage_fast_path_matches():
+    """Interior tiles where every frame covers every pixel take the
+    static-rank median/MAD fast path; edge tiles keep the per-pixel
+    rank selects.  One call over a 3x3 tile grid with small dithers
+    exercises both branches, and both must match the unfused path."""
+    rng = np.random.default_rng(21)
+    h, w, n = 96, 384, 7
+    base = np.asarray(synth.make_rgb_scene((h, w), seed=21,
+                                           peak=5000)[..., 0], np.float32)
+    base += synth.gaussian_star((h, w), w * 0.5, h * 0.5, 40000.0,
+                                3.0).astype(np.float32)
+    cal = np.stack([base + rng.normal(0, 3, (h, w)).astype(np.float32)
+                    for _ in range(n)])
+    mats = []
+    for f in range(n):
+        # pure small translations: every frame covers the whole center
+        # tile (rows 32-63, cols 128-255 sit >= 30 px from any border),
+        # so its min coverage count == n and the static-rank branch
+        # runs; border tiles stay partial and run the select branch
+        tx, ty = (0.0, 0.0) if f == 0 else rng.uniform(-2, 2, 2)
+        mats.append([[1.0, 0.0, tx], [0.0, 1.0, ty]])
+    cal_d = jnp.asarray(cal)
+    mats_d = jnp.asarray(np.asarray(mats, np.float32))
+    ref = _reference(cal_d, mats_d)
+    got = np.asarray(pallas_warp_combine(cal_d, mats_d, tile=(32, 128),
+                                         interpret=True))
+    inner = ref != 0.0
+    np.testing.assert_allclose(got[inner], ref[inner], rtol=1e-4, atol=0.5)
+    np.testing.assert_array_equal(got == 0.0, ref == 0.0)
+
+
+@pytest.mark.parametrize("method", ["average", "median", "mean", "sum"])
+def test_combine_chunk_invariance(method):
+    """The chunked combine (wide-tile VMEM enabler) must be exactly
+    chunk-invariant in every combine mode."""
+    cal, mats = _make_inputs(n=5, h=96, w=256, seed=4)
+    whole = np.asarray(pallas_warp_combine(cal, mats, tile=(32, 128),
+                                           combine=method, interpret=True))
+    chunked = np.asarray(pallas_warp_combine(cal, mats, tile=(32, 128),
+                                             combine=method,
+                                             combine_chunk=128,
+                                             interpret=True))
+    np.testing.assert_allclose(chunked, whole, rtol=1e-6, atol=1e-3)
+
+
 def test_block_div_delivery_matches_whole_tile():
     """block_div sub-tile delivery windows change only HOW source data
     reaches VMEM — output must match the whole-tile default exactly."""
