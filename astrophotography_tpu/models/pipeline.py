@@ -103,6 +103,13 @@ class PipelineConfig:
     #: the unpadded stack (memory-critical 100x16-Mpix runs) at the cost
     #: of a <= 1-tile zero border ring
     fused_apron: bool = True
+    #: guaranteed per-axis dither spread (px) the fused kernel's shared
+    #: per-tile source windows must absorb; frames whose registration
+    #: offset exceeds it are excluded per tile via coverage rather than
+    #: resampled from out-of-window data.  Tighter budgets shrink the
+    #: window one delivery block (~4% kernel time at 16 vs 64); set it
+    #: from the known dither pattern of the observing run
+    dither_budget: int = 64
 
 
 def _noise_row_stride(h: int) -> int:
@@ -160,10 +167,12 @@ def _calibration_planes(bias, dark, flat, dark_still_biased: bool, h, w):
     """Combined calibration planes for ``cal = raw * A - B - r * C``.
 
     Returns ``(a_full, b_plane, c_plane, has_masters)``; ``a_full`` is
-    None when there is no flat (the multiply is elided), and
-    b_plane/c_plane are None when there are no masters at all.  Shared
-    by the fused detection path and the lean stacking stage so the
-    dark_still_biased rule lives in exactly one place."""
+    None when there is no flat (the multiply is elided), and b_plane /
+    c_plane are None when bias / dark is absent (an exactly-zero plane
+    would still cost per-star centroid gathers and per-pixel
+    subtractions downstream).  Shared by the fused detection path and
+    the lean stacking stage so the dark_still_biased rule lives in
+    exactly one place."""
     has_masters = any(m is not None for m in (bias, dark, flat))
     a_full = (1.0 / flat).astype(jnp.float32) if flat is not None else None
     bias_t = bias if bias is not None else jnp.zeros((h, w), jnp.float32)
@@ -172,12 +181,9 @@ def _calibration_planes(bias, dark, flat, dark_still_biased: bool, h, w):
                                      and bias is not None) else dark
     else:
         dark_use = jnp.zeros((h, w), jnp.float32)
-    if has_masters:
-        af = a_full if a_full is not None else 1.0
-        b_plane = (bias_t * af).astype(jnp.float32)
-        c_plane = (dark_use * af).astype(jnp.float32)
-    else:
-        b_plane = c_plane = None
+    af = a_full if a_full is not None else 1.0
+    b_plane = (bias_t * af).astype(jnp.float32) if bias is not None else None
+    c_plane = (dark_use * af).astype(jnp.float32) if dark is not None else None
     return a_full, b_plane, c_plane, bias_t, dark_use, has_masters
 
 
@@ -202,9 +208,11 @@ def _detect_stars_fused(frames, bias, dark, flat, exp_ratios,
     st = _noise_row_stride(h)
     rows = frames[:, ::st, :].astype(jnp.float32)
     if has_masters:
-        a_r = a_full[::st] if a_full is not None else 1.0
-        cal_sub = rows * a_r - b_plane[::st] \
-            - exp_ratios[:, None, None] * c_plane[::st]
+        cal_sub = rows * a_full[::st] if a_full is not None else rows
+        if b_plane is not None:
+            cal_sub = cal_sub - b_plane[::st]
+        if c_plane is not None:
+            cal_sub = cal_sub - exp_ratios[:, None, None] * c_plane[::st]
     else:
         cal_sub = rows
     ce, std = _noise_stats_from_sub(cal_sub.reshape(n, -1),
@@ -242,10 +250,12 @@ def _detect_stars_fused(frames, bias, dark, flat, exp_ratios,
             # raw values could disagree across a hot bias/dark pixel
             # or a flat step)
             v = frame[y, x].astype(jnp.float32)
-            if has_masters:
-                if a_full is not None:
-                    v = v * a_full[y, x]
-                v = v - b_plane[y, x] - r_f * c_plane[y, x]
+            if a_full is not None:
+                v = v * a_full[y, x]
+            if b_plane is not None:
+                v = v - b_plane[y, x]
+            if c_plane is not None:
+                v = v - r_f * c_plane[y, x]
             return v
 
         def per_star(cy, cx):
@@ -258,14 +268,15 @@ def _detect_stars_fused(frames, bias, dark, flat, exp_ratios,
             x0 = jnp.clip(cx - r, 0, w - box)
             cut = jax.lax.dynamic_slice(frame, (y0, x0),
                                         (box, box)).astype(jnp.float32)
-            if has_masters:
-                if a_full is not None:
-                    cut = cut * jax.lax.dynamic_slice(a_full, (y0, x0),
-                                                      (box, box))
-                cut = cut - jax.lax.dynamic_slice(b_plane, (y0, x0),
-                                                  (box, box)) \
-                    - r_f * jax.lax.dynamic_slice(c_plane, (y0, x0),
+            if a_full is not None:
+                cut = cut * jax.lax.dynamic_slice(a_full, (y0, x0),
                                                   (box, box))
+            if b_plane is not None:
+                cut = cut - jax.lax.dynamic_slice(b_plane, (y0, x0),
+                                                  (box, box))
+            if c_plane is not None:
+                cut = cut - r_f * jax.lax.dynamic_slice(c_plane, (y0, x0),
+                                                        (box, box))
             pos = jnp.maximum(cut - ce_f, 0.0)
             ys = jnp.arange(box, dtype=jnp.float32)
             xs = jnp.arange(box, dtype=jnp.float32)
@@ -432,7 +443,8 @@ def calibrate_register_stack(
         stacked = pallas_warp_combine(
             cal, matrices, span=config.warp_span, tile=config.fused_tile,
             sigma_lower=config.sigma_lower, sigma_upper=config.sigma_upper,
-            apron=apron, combine=config.combine)
+            apron=apron, combine=config.combine,
+            dither_budget=config.dither_budget)
         diagnostics = {
             "scale": sims.scale,
             "theta": sims.theta,
@@ -609,7 +621,7 @@ def calibrate_register_stack_lean(
         span=config.warp_span, tile=config.fused_tile,
         sigma_lower=config.sigma_lower,
         sigma_upper=config.sigma_upper, apron=apron,
-        combine=config.combine)
+        combine=config.combine, dither_budget=config.dither_budget)
     diagnostics = {
         "scale": sims.scale, "theta": sims.theta,
         "tx": sims.tx, "ty": sims.ty,

@@ -21,6 +21,7 @@ def main():
     ap.add_argument("--fgroup", type=int, default=2)
     ap.add_argument("--bdiv", default="1,1")
     ap.add_argument("--cchunk", type=int, default=0)
+    ap.add_argument("--budget", type=int, default=64)
     args = ap.parse_args()
     bdiv = tuple(int(v) for v in args.bdiv.split(","))
     n, s = args.frames, args.size
@@ -40,7 +41,8 @@ def main():
         out = pallas_warp_combine(frames_d, mats_d, masters=masters,
                                   span=8, apron=False, tile=(th, tw),
                                   frame_group=args.fgroup, block_div=bdiv,
-                                  combine_chunk=args.cchunk or None)
+                                  combine_chunk=args.cchunk or None,
+                                  dither_budget=args.budget)
         return float(jnp.sum(out))
 
     t0 = time.perf_counter()
@@ -53,7 +55,7 @@ def main():
         ts.append(time.perf_counter() - t0)
     best = min(ts)
     print(f"tile=({th},{tw}) fgroup={args.fgroup} bdiv={bdiv} "
-          f"cchunk={args.cchunk} n={n} s={s}: "
+          f"cchunk={args.cchunk} budget={args.budget} n={n} s={s}: "
           f"{best * 1000:.1f} ms ({n * s * s / best / 1e9:.2f} GPix/s)",
           flush=True)
 
