@@ -21,10 +21,11 @@ streaming pass:
   tiny (N, tiles_y, tiles_x) candidate table.
 
 Host-side code (models/pipeline) turns candidates into the Stars table:
-top-k over the tile maxima, the brighter-of-two full-resolution peak
-row, and center-of-mass centroids on calibrated CUTOUTS (a few dozen
-5x5 gathers per frame — exact calibration where it matters, never the
-full stack).
+top-k over the tile maxima, then either center-of-mass centroids on
+calibrated full-resolution CUTOUTS (centroid='com' — a few dozen 5x5
+gathers per frame; exact calibration where it matters, never the full
+stack) or the kernel's own bias-calibrated parabola peak offsets
+(centroid='kernel' — zero host gathers; see _paroff_calibration).
 """
 
 from __future__ import annotations
@@ -90,6 +91,79 @@ def master_densities(bias, dark_used, flat, fwhm: float = 3.0):
     return jnp.stack([mb, mc])
 
 
+def _paroff_calibration(fwhm: float):
+    """Odd-quintic corrections ((cy1, cy3, cy5), (cx1, cx3, cx5))
+    mapping the raw 3-point-parabola peak-offset ESTIMATE back to the
+    true sub-sample offset, computed numerically from the actual
+    matched-filter response model at this fwhm.
+
+    The density profile of a point source is NOT Gaussian (the filter
+    subtracts mean_w times a box sum — giving negative skirts — and
+    rows are 2x box-binned), so the plain parabola estimate carries a
+    deterministic phase-dependent bias (~0.1 bin in y at fwhm 3; a
+    LOG-parabola is worse still: the negative skirts make its domain
+    switch mid-range and the estimator non-monotone).  Simulating the
+    1-D response over a grid of true offsets and least-squares fitting
+    true = c1*e + c3*e^3 + c5*e^5 leaves < 0.004 bin (0.008 px)
+    residual in y and < 1e-4 px in x at fwhm 3."""
+    r = _kernel_radius(fwhm)
+    sigma = fwhm * FWHM_TO_SIGMA
+    d = np.arange(-r, r + 1, dtype=np.float64)
+    gr = np.exp(-0.5 * d * d / (sigma * 0.5) ** 2)
+    gc = np.exp(-0.5 * d * d / sigma ** 2)
+    nbox = float((2 * r + 1) ** 2)
+    mean_w = float(np.sum(gr)) * float(np.sum(gc)) / nbox
+
+    def est_from_triple(a, b, c):
+        den = a - 2.0 * b + c
+        if abs(den) < 1e-12:
+            return 0.0
+        return float(np.clip(0.5 * (a - c) / den, -0.5, 0.5))
+
+    # cross-axis constants at zero phase
+    a1 = float(np.sum(gc * np.exp(-0.5 * d * d / sigma ** 2)))
+    a2 = float(np.sum(np.exp(-0.5 * d * d / sigma ** 2)))
+
+    def response_y(p):
+        # binned source rows around b0 at true offset p (bins):
+        # binned row b averages full-res rows 2b, 2b+1 whose Gaussian
+        # has sigma (full-res px); y_true = 2*p relative to the b0 bin
+        # center
+        b = np.arange(-r - 3, r + 4, dtype=np.float64)
+        y0 = 2.0 * p
+        s = 0.5 * (np.exp(-0.5 * (2 * b - 0.5 - y0) ** 2 / sigma ** 2)
+                   + np.exp(-0.5 * (2 * b + 0.5 - y0) ** 2 / sigma ** 2))
+        gy = np.correlate(s, gr, mode="same")
+        by = np.correlate(s, np.ones_like(gr), mode="same")
+        dens = gy * a1 - mean_w * by * a2
+        c0 = len(b) // 2
+        return dens[c0 - 1], dens[c0], dens[c0 + 1]
+
+    def response_x(q):
+        c = np.arange(-r - 3, r + 4, dtype=np.float64)
+        s = np.exp(-0.5 * (c - q) ** 2 / sigma ** 2)
+        gx = np.correlate(s, gc, mode="same")
+        bx = np.correlate(s, np.ones_like(gc), mode="same")
+        # cross-axis (y) constants at zero phase, binned profile
+        b = np.arange(-r - 3, r + 4, dtype=np.float64)
+        sy = 0.5 * (np.exp(-0.5 * (2 * b - 0.5) ** 2 / sigma ** 2)
+                    + np.exp(-0.5 * (2 * b + 0.5) ** 2 / sigma ** 2))
+        b1 = float(np.sum(gr * sy[len(b) // 2 - r:len(b) // 2 + r + 1]))
+        b2 = float(np.sum(sy[len(b) // 2 - r:len(b) // 2 + r + 1]))
+        dens = gx * b1 - mean_w * bx * b2
+        c0 = len(c) // 2
+        return dens[c0 - 1], dens[c0], dens[c0 + 1]
+
+    def fit(responder):
+        ps = np.linspace(-0.49, 0.49, 197)
+        es = np.array([est_from_triple(*responder(p)) for p in ps])
+        A = np.stack([es, es ** 3, es ** 5], axis=1)
+        c1, c3, c5 = np.linalg.lstsq(A, ps, rcond=None)[0]
+        return float(c1), float(c3), float(c5)
+
+    return fit(response_y), fit(response_x)
+
+
 def _lane_filter_matrix(gc, r):
     """(384, 256) banded lane-convolution matrix for the MXU matmul
     formulation of the horizontal filter pass.
@@ -111,7 +185,7 @@ def _lane_filter_matrix(gc, r):
 
 
 def _make_kernel(n, band, w, h2, r, gr, gc, mean_w, inv_den,
-                 has_mf, has_flat):
+                 has_mf, has_flat, cal_y, cal_x):
     hw = 2 * band          # raw rows per band block
     bh = band + 2 * r + 2  # binned rows incl. conv+peak halo
     tyn = band // _TTY
@@ -131,9 +205,11 @@ def _make_kernel(n, band, w, h2, r, gr, gc, mean_w, inv_den,
         b_ref = refs[pos]; pos += 1
         out_max = refs[pos]
         out_idx = refs[pos + 1]
-        bin_ref = refs[pos + 2]
-        xp_ref = refs[pos + 3]
-        dens_ref = refs[pos + 4]
+        out_yoff = refs[pos + 2]
+        out_xoff = refs[pos + 3]
+        bin_ref = refs[pos + 4]
+        xp_ref = refs[pos + 5]
+        dens_ref = refs[pos + 6]
         t = pl.program_id(0)
         f = pl.program_id(1)
         halo = r + 1  # binned halo rows needed on each side
@@ -220,9 +296,11 @@ def _make_kernel(n, band, w, h2, r, gr, gc, mean_w, inv_den,
         def sc(x, d):
             return pltpu.roll(x, d % w, axis=1)
 
+        cl = sc(core, 1)
+        cr = sc(core, -1)
         dm = jnp.maximum(jnp.maximum(sc(dens, 1), dens), sc(dens, -1))
-        earlier = jnp.maximum(dm[0:band, :], sc(core, 1))
-        later = jnp.maximum(dm[2:2 + band, :], sc(core, -1))
+        earlier = jnp.maximum(dm[0:band, :], cl)
+        later = jnp.maximum(dm[2:2 + band, :], cr)
 
         thr = scal_ref[f, 0]
         rows_g = t * band + jax.lax.broadcasted_iota(jnp.int32, (band, w), 0)
@@ -240,6 +318,47 @@ def _make_kernel(n, band, w, h2, r, gr, gc, mean_w, inv_den,
         hit = s4 >= m[:, None, :, None]
         loc = jnp.min(jnp.where(hit, lidx, jnp.int32(2 ** 30)),
                       axis=(1, 3))
+
+        # sub-pixel peak offsets at each tile's winner: a 3-point
+        # parabola through the density cross-neighborhood, followed by
+        # the odd-quintic bias calibration fitted offline against the
+        # filter's exact response model (:func:`_paroff_calibration` —
+        # the box-subtracted, row-binned profile is not Gaussian, so
+        # the raw parabola alone is ~0.1 bin biased).  The neighbor
+        # planes come from the band's density block (halo rows
+        # included), so tile-edge peaks interpolate correctly; the
+        # winner is extracted with a one-hot masked sum — no dynamic
+        # indexing.  Offsets are in BINNED rows / full-res columns;
+        # the host converts (models/pipeline, centroid config).
+        sel = (lidx == loc[:, None, :, None]).astype(jnp.float32)
+
+        def at_peak(plane):
+            return jnp.sum(plane.reshape(tyn, _TTY, txn, _TTX) * sel,
+                           axis=(1, 3))
+
+        # the winner's own density is the tile max already in hand
+        # (score holds core at the winning peak); neighbor planes reuse
+        # the peak test's rolls — 4 masked reductions, no new rolls
+        d0 = m
+        du = at_peak(dens[0:band, :])
+        dd = at_peak(dens[2:2 + band, :])
+        dl = at_peak(cl)
+        dr = at_peak(cr)
+
+        def paroff(a, b, c, coef):
+            den = a - 2.0 * b + c
+            safe = jnp.abs(den) > 1e-12
+            off = jnp.where(safe, 0.5 * (a - c)
+                            / jnp.where(safe, den, 1.0), 0.0)
+            # a true local max keeps |off| < 0.5; ties/flat noise could
+            # push it out — clamp to the physical half-sample range
+            e = jnp.clip(off, -0.5, 0.5)
+            e2 = e * e
+            c1, c3, c5 = (jnp.float32(v) for v in coef)
+            return jnp.clip(e * (c1 + e2 * (c3 + e2 * c5)), -0.5, 0.5)
+
+        yoff = paroff(du, d0, dd, cal_y)
+        xoff = paroff(dl, d0, dr, cal_x)
         # pad the (tyn, txn) result to the (8, 128) TPU output tile
         # (concatenate: .at[].set lowers to scatter, rejected by Mosaic)
         m8 = jnp.concatenate(
@@ -254,6 +373,17 @@ def _make_kernel(n, band, w, h2, r, gr, gc, mean_w, inv_den,
         out_idx[0] = jnp.concatenate(
             [l8, jnp.zeros((8, 128 - txn), jnp.int32)], axis=1) \
             if txn < 128 else l8
+
+        def pad_f32(x):
+            x8 = jnp.concatenate(
+                [x, jnp.zeros((8 - tyn, txn), jnp.float32)], axis=0) \
+                if tyn < 8 else x
+            return jnp.concatenate(
+                [x8, jnp.zeros((8, 128 - txn), jnp.float32)], axis=1) \
+                if txn < 128 else x8
+
+        out_yoff[0] = pad_f32(yoff)
+        out_xoff[0] = pad_f32(xoff)
 
     return kernel
 
@@ -276,10 +406,13 @@ def pallas_detect_tiles(
     thresholds (nsigma * std); ``mf_bc`` (2, H//2, W) binned master
     densities from :func:`master_densities` (None = no additive
     masters); ``a_plane`` (H, W) 1/flat (None = no flat);
-    ``exp_ratios`` (N,) dark scalings.  Returns ``(maxv, idx)`` of
-    shape (N, H//2//32, W//256): the strongest in-tile peak's density
-    and its row-major position within the (32, 256) binned tile, -3e38
-    where a tile has no peak.  Geometry: H % (2*band) == 0,
+    ``exp_ratios`` (N,) dark scalings.  Returns ``(maxv, idx, yoff,
+    xoff)`` of shape (N, H//2//32, W//256): the strongest in-tile
+    peak's density, its row-major position within the (32, 256) binned
+    tile (-3e38 / 0 where a tile has no peak), and its sub-pixel
+    3-point-parabola peak offsets (log values when the cross
+    neighborhood is positive — exact for Gaussian profiles) in binned
+    rows / full-res columns.  Geometry: H % (2*band) == 0,
     W % 256 == 0, band % 32 == 0.
     """
     import jax as _jax
@@ -340,9 +473,10 @@ def pallas_detect_tiles(
 
     tyn = band // _TTY
     txn = w // _TTX
+    cal_y, cal_x = _paroff_calibration(fwhm)
     kernel = _make_kernel(n, band, w, h2, r, [float(v) for v in gr],
                           [float(v) for v in gc], mean_w, inv_den,
-                          has_mf, has_flat)
+                          has_mf, has_flat, cal_y, cal_x)
     if tyn > 8 or txn > 128:
         raise ValueError("band/width too large for the (8, 128) "
                          "candidate output tile")
@@ -356,6 +490,8 @@ def pallas_detect_tiles(
         out_specs=[
             pl.BlockSpec((1, 8, 128), lambda t, f, *_: (f, t, 0)),
             pl.BlockSpec((1, 8, 128), lambda t, f, *_: (f, t, 0)),
+            pl.BlockSpec((1, 8, 128), lambda t, f, *_: (f, t, 0)),
+            pl.BlockSpec((1, 8, 128), lambda t, f, *_: (f, t, 0)),
         ],
         scratch_shapes=[
             pltpu.VMEM((band + 2 * (r + 1), w), jnp.float32),
@@ -367,19 +503,22 @@ def pallas_detect_tiles(
             pltpu.VMEM((band + 2, w), jnp.float32),
         ],
     )
-    maxv, idx = pl.pallas_call(
+    maxv, idx, yoff, xoff = pl.pallas_call(
         kernel,
         out_shape=[
             jax.ShapeDtypeStruct((n, t_count * 8, 128), jnp.float32),
             jax.ShapeDtypeStruct((n, t_count * 8, 128), jnp.int32),
+            jax.ShapeDtypeStruct((n, t_count * 8, 128), jnp.float32),
+            jax.ShapeDtypeStruct((n, t_count * 8, 128), jnp.float32),
         ],
         grid_spec=grid_spec,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(scal, *operands)
-    maxv = maxv.reshape(n, t_count, 8, 128)[:, :, :tyn, :txn] \
-        .reshape(n, t_count * tyn, txn)
-    idx = idx.reshape(n, t_count, 8, 128)[:, :, :tyn, :txn] \
-        .reshape(n, t_count * tyn, txn)
-    return maxv, idx
+
+    def unpad(x):
+        return x.reshape(n, t_count, 8, 128)[:, :, :tyn, :txn] \
+            .reshape(n, t_count * tyn, txn)
+
+    return unpad(maxv), unpad(idx), unpad(yoff), unpad(xoff)

@@ -66,7 +66,7 @@ def _attempt(n_frames: int, size: int, repeats: int,
         cfg = PipelineConfig(max_stars=48, match_k=10,
                              detect_mode="chunked", detect_chunk=2,
                              detect_topk="tile", detect_fast=True,
-                             detect_bin_rows=True,
+                             detect_bin_rows=True, centroid="kernel",
                              warp_span=8, fused_apron=False,
                              # the bench workload dithers by <= 4 px
                              # (known observing pattern); 16 px of

@@ -36,7 +36,7 @@ def test_kernel_finds_isolated_stars():
         frames[f] = img + 150.0
         truth.append(t)
     raw = np.clip(frames, 0, 65535).astype(np.uint16)
-    maxv, idx = pallas_detect_tiles(jnp.asarray(raw),
+    maxv, idx, _, _ = pallas_detect_tiles(jnp.asarray(raw),
                                     jnp.asarray([60.0] * n), band=64)
     maxv, idx = np.asarray(maxv), np.asarray(idx)
     for f in range(n):
@@ -58,7 +58,7 @@ def test_kernel_density_matches_xla_fast_density():
                                    read_noise=3.0, seed=5, margin=20,
                                    min_sep=60.0)
     raw = np.clip(img, 0, 65535).astype(np.uint16)
-    maxv, idx = pallas_detect_tiles(jnp.asarray(raw[None]),
+    maxv, idx, _, _ = pallas_detect_tiles(jnp.asarray(raw[None]),
                                     jnp.asarray([50.0]), band=32)
     maxv, idx = np.asarray(maxv), np.asarray(idx)
     det = 0.5 * (raw.astype(np.float32)[0::2] + raw.astype(np.float32)[1::2])
@@ -84,13 +84,13 @@ def test_kernel_masters_suppress_hot_pixels():
     raw = np.clip(img + bias + dark, 0, 65535).astype(np.uint16)
     thr = jnp.asarray([60.0])
     # without masters: the hot pixel IS a candidate
-    mx0, ix0 = pallas_detect_tiles(jnp.asarray(raw[None]), thr, band=64)
+    mx0, ix0, _, _ = pallas_detect_tiles(jnp.asarray(raw[None]), thr, band=64)
     naked = _decode(np.asarray(mx0), np.asarray(ix0), 0)
     assert any(abs(px - 300) < 3 and abs(py - 100) < 4
                for px, py, _v in naked)
     # with masters: it is not, and the true stars remain
     mf = master_densities(jnp.asarray(bias), jnp.asarray(dark), None)
-    mx, ix = pallas_detect_tiles(jnp.asarray(raw[None]), thr, mf_bc=mf,
+    mx, ix, _, _ = pallas_detect_tiles(jnp.asarray(raw[None]), thr, mf_bc=mf,
                                  exp_ratios=jnp.asarray([1.0]), band=64)
     found = _decode(np.asarray(mx), np.asarray(ix), 0)
     assert not any(abs(px - 300) < 3 and abs(py - 100) < 4
@@ -136,6 +136,49 @@ def test_lean_pipeline_fused_detect_matches_chunked():
     assert np.median(np.abs(of[both] - oc[both])) < 0.5
 
 
+def test_lean_pipeline_fused_detect_full_masters():
+    """Same fused-vs-chunked registration agreement with bias + dark +
+    flat all present, so every calibration plane (A, B, C) is active —
+    including the exp-ratio-scaled dark term in the per-star centroid
+    path (``_calibration_planes`` returns real planes here, None when
+    a master is absent)."""
+    from astrophotography_tpu.models import PipelineConfig
+    from astrophotography_tpu.models.pipeline import (
+        calibrate_register_stack_lean)
+    from tests.test_register_stack import _make_dithered_stack
+
+    rng = np.random.default_rng(33)
+    h, w = 256, 768
+    frames, truths, _ = _make_dithered_stack(n_frames=4, shape=(h, w),
+                                             seed=33)
+    bias = np.full((h, w), 250.0, np.float32) \
+        + rng.normal(0, 2.0, (h, w)).astype(np.float32)
+    dark = np.abs(rng.normal(3.0, 1.0, (h, w))).astype(np.float32)
+    flat = (1.0 + 0.1 * np.cos(np.arange(w) * 0.013)[None, :]) \
+        .astype(np.float32) * np.ones((h, 1), np.float32)
+    raw = jnp.asarray(np.clip(frames * flat + bias + 2.0 * dark, 0,
+                              65535).astype(np.uint16))
+    base = dict(max_stars=24, match_k=10, detect_fast=True,
+                detect_bin_rows=True, detect_topk="tile",
+                detect_mode="chunked", detect_chunk=2,
+                fused_tile=(32, 256), warp_span=8)
+    kw = dict(bias=jnp.asarray(bias), dark=jnp.asarray(dark),
+              flat=jnp.asarray(flat),
+              exp_ratios=jnp.full((4,), 2.0, jnp.float32))
+    out_f, diag_f = calibrate_register_stack_lean(
+        raw, config=PipelineConfig(detect_impl="fused", **base), **kw)
+    out_c, diag_c = calibrate_register_stack_lean(
+        raw, config=PipelineConfig(detect_impl="chunked", **base), **kw)
+    for f in range(4):
+        assert int(diag_f["n_inliers"][f]) >= 5
+        assert abs(float(diag_f["tx"][f]) - float(diag_c["tx"][f])) < 0.25
+        assert abs(float(diag_f["ty"][f]) - float(diag_c["ty"][f])) < 0.25
+    of, oc = np.asarray(out_f), np.asarray(out_c)
+    both = (of != 0) & (oc != 0)
+    assert both.mean() > 0.8
+    assert np.median(np.abs(of[both] - oc[both])) < 0.5
+
+
 def test_masters_exact_with_row_varying_flat():
     """With a flat that varies between the two rows of a binned pair,
     the master-density subtraction still cancels exactly: the masters
@@ -156,7 +199,7 @@ def test_masters_exact_with_row_varying_flat():
     dark = np.zeros((h, w), np.float32)
     mf = master_densities(jnp.asarray(bias), jnp.asarray(dark),
                           jnp.asarray(flat))
-    mx, ix = pallas_detect_tiles(jnp.asarray(raw[None]),
+    mx, ix, _, _ = pallas_detect_tiles(jnp.asarray(raw[None]),
                                  jnp.asarray([60.0]), mf_bc=mf,
                                  a_plane=jnp.asarray(1.0 / flat),
                                  exp_ratios=jnp.asarray([1.0]), band=64)
@@ -181,3 +224,74 @@ def test_auto_gate_keeps_chunked_on_few_tiles():
     assert _fused_detect_ok(cfg, 512, 512)
     h, w = 512, 512
     assert (h // 64) * (w // 256) < cfg.max_stars  # the gate condition
+
+
+def test_kernel_subpixel_offsets_accuracy():
+    """The in-kernel calibrated-parabola peak offsets recover known
+    sub-pixel star positions to < 0.02 px in BOTH axes on noise-free
+    Gaussians (the odd-quintic calibration removes the parabola's
+    phase-dependent bias against the exact filter response model —
+    tighter than the cutout center-of-mass path, whose box truncation
+    biases ~0.05 px)."""
+    h, w = 256, 512
+    positions = [(100.3, 60.7), (300.8, 141.2), (420.45, 200.95),
+                 (200.0, 100.5)]
+    img = np.full((h, w), 300.0, np.float32)
+    for x0, y0 in positions:
+        img += synth.gaussian_star((h, w), x0, y0, 40000.0, 3.0) \
+            .astype(np.float32)
+    raw = np.clip(img, 0, 65535).astype(np.uint16)
+    maxv, idx, yoff, xoff = pallas_detect_tiles(
+        jnp.asarray(raw[None]), jnp.asarray([60.0]), band=64)
+    maxv, idx = np.asarray(maxv), np.asarray(idx)
+    yoff, xoff = np.asarray(yoff), np.asarray(xoff)
+    for x0, y0 in positions:
+        best = None
+        for ty in range(maxv.shape[1]):
+            for tx in range(maxv.shape[2]):
+                if maxv[0, ty, tx] > -1e37:
+                    l = int(idx[0, ty, tx])
+                    px = tx * 256 + l % 256
+                    rb = ty * 32 + l // 256
+                    cx = px + float(xoff[0, ty, tx])
+                    cy = (rb + float(yoff[0, ty, tx])) * 2 + 0.5
+                    d = np.hypot(cx - x0, cy - y0)
+                    if best is None or d < best[0]:
+                        best = (d, cx, cy)
+        d, cx, cy = best
+        assert abs(cx - x0) < 0.02, (x0, y0, cx)
+        assert abs(cy - y0) < 0.02, (x0, y0, cy)
+
+
+def test_lean_pipeline_kernel_centroid_matches_com():
+    """centroid='kernel' (in-kernel calibrated density parabola, zero
+    host gathers) solves the same registrations as centroid='com'
+    (cutout center-of-mass) to centroid-noise level."""
+    from astrophotography_tpu.models import PipelineConfig
+    from astrophotography_tpu.models.pipeline import (
+        calibrate_register_stack_lean)
+    from tests.test_register_stack import _make_dithered_stack
+
+    h, w = 256, 768
+    frames, truths, _ = _make_dithered_stack(n_frames=4, shape=(h, w),
+                                             seed=44)
+    bias = np.full((h, w), 250.0, np.float32)
+    raw = jnp.asarray(np.clip(frames + bias, 0, 65535).astype(np.uint16))
+    base = dict(max_stars=24, match_k=10, detect_fast=True,
+                detect_bin_rows=True, detect_topk="tile",
+                detect_mode="chunked", detect_chunk=2, detect_impl="fused",
+                fused_tile=(32, 256), warp_span=8)
+    out_k, diag_k = calibrate_register_stack_lean(
+        raw, bias=jnp.asarray(bias),
+        config=PipelineConfig(centroid="kernel", **base))
+    out_c, diag_c = calibrate_register_stack_lean(
+        raw, bias=jnp.asarray(bias),
+        config=PipelineConfig(centroid="com", **base))
+    for f in range(4):
+        assert int(diag_k["n_inliers"][f]) >= 5
+        assert abs(float(diag_k["tx"][f]) - float(diag_c["tx"][f])) < 0.2
+        assert abs(float(diag_k["ty"][f]) - float(diag_c["ty"][f])) < 0.2
+        # and against the injected truth dithers
+        _theta, t_tx, t_ty = truths[f]
+        assert abs(float(diag_k["tx"][f]) - t_tx) < 0.3
+        assert abs(float(diag_k["ty"][f]) - t_ty) < 0.3

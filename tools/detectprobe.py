@@ -41,7 +41,7 @@ def main():
 
     @jax.jit
     def kern_only(fr):
-        mv, ix = pallas_detect_tiles(fr, thr, mf_bc=None, a_plane=None,
+        mv, ix, _, _ = pallas_detect_tiles(fr, thr, mf_bc=None, a_plane=None,
                                      fwhm=cfg.fwhm, band=128)
         return jnp.sum(mv) + jnp.sum(ix)
 
@@ -86,7 +86,7 @@ def probe_pieces():
 
     @jax.jit
     def kern_mf(fr):
-        mv, ix = pallas_detect_tiles(fr, thr, mf_bc=mf, a_plane=None,
+        mv, ix, _, _ = pallas_detect_tiles(fr, thr, mf_bc=mf, a_plane=None,
                                      band=128)
         return jnp.sum(mv) + jnp.sum(ix)
 

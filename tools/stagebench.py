@@ -62,7 +62,7 @@ def main():
     cfg = PipelineConfig(max_stars=48, match_k=10, detect_mode="chunked",
                          detect_chunk=2, detect_topk="tile",
                          detect_fast=True, detect_bin_rows=True,
-                         warp_span=8, fused_apron=False,
+                         centroid="kernel", warp_span=8, fused_apron=False,
                          dither_budget=16)
 
     def sync(x):
