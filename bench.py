@@ -20,6 +20,14 @@ import time
 
 import numpy as np
 
+# Persistent XLA compilation cache: the fused mega-kernel compiles in
+# ~8-10 min on this host's single core; a repo-local cache turns every
+# later bench invocation (including the driver's) into a ~1 min run.
+_CACHE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          ".jax_cache")
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", _CACHE_DIR)
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "5")
+
 
 def _attempt(n_frames: int, size: int, repeats: int,
              combine_impl: str = "pallas") -> dict:

@@ -22,6 +22,12 @@ import time
 
 import numpy as np
 
+# share bench.py's persistent XLA compilation cache (see bench.py)
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"))
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "5")
+
 
 def main() -> int:
     n_frames = int(os.environ.get("BENCH_RAW_FRAMES", "24"))
