@@ -362,3 +362,11 @@ def test_block_div_delivery_matches_whole_tile():
                                          block_div=(2, 1),
                                          interpret=True))
     np.testing.assert_allclose(div, base, rtol=1e-6, atol=1e-3)
+    # column split — the production auto default on wide (>= 1024)
+    # tiles; exercised here at the interpreter-sized geometry
+    base_w = np.asarray(pallas_warp_combine(cal, mats, tile=(32, 256),
+                                            interpret=True))
+    div_w = np.asarray(pallas_warp_combine(cal, mats, tile=(32, 256),
+                                           block_div=(1, 2),
+                                           interpret=True))
+    np.testing.assert_allclose(div_w, base_w, rtol=1e-6, atol=1e-3)
