@@ -599,13 +599,18 @@ def pallas_warp_combine(
     # step.  Measured on v5e at 100x4096^2: at the narrow round-2
     # (80, 512) tile, (2, 2) cut window bytes ~2.4x yet gained only
     # ~4% (per-DMA fixed costs offset the byte savings); at the wide
-    # (64, 1024)+cchunk256 production tile, column halving (1, 2) wins
-    # 196.9 -> 179.8 ms (the window's width overread dominates there,
-    # and halving it costs only one extra column DMA per step), while
-    # (1, 4) ties at 180.6 ms for more descriptors and compile time.
-    # Auto: split columns once on wide tiles.
+    # (64, 1024)+cchunk256 production tile the savings dominate:
+    # (1, 2) 196.9 -> 179.8 ms, (2, 2) -> 175.3 ms (the shared window
+    # overreads in BOTH axes once the tile is wide; quartering its
+    # bytes costs three extra DMAs per grid step).  (1, 4) ties (1, 2)
+    # at 180.6 ms for more descriptors and compile time; fgroup=4,
+    # (80, 1024) and (48, 1024) all regress.  Auto: quarter the
+    # delivery blocks on wide tiles.
     if block_div is None:
-        block_div = (1, 2) if (tw >= 1024 and tw % 256 == 0) else (1, 1)
+        if tw >= 1024 and tw % 256 == 0:
+            block_div = (2, 2) if th % 32 == 0 else (1, 2)
+        else:
+            block_div = (1, 1)
     ky, kx = block_div
     if th % ky or (ky > 1 and (th // ky) % 16):
         raise ValueError(f"block_div {block_div}: tile height {th} must "

@@ -370,3 +370,8 @@ def test_block_div_delivery_matches_whole_tile():
                                            block_div=(1, 2),
                                            interpret=True))
     np.testing.assert_allclose(div_w, base_w, rtol=1e-6, atol=1e-3)
+    # both-axis quartering — the production auto default on wide tiles
+    div_q = np.asarray(pallas_warp_combine(cal, mats, tile=(32, 256),
+                                           block_div=(2, 2),
+                                           interpret=True))
+    np.testing.assert_allclose(div_q, base_w, rtol=1e-6, atol=1e-3)
