@@ -111,13 +111,28 @@ class PipelineConfig:
     #: Gaussian profiles, accuracy-bounded in tests; zero host gathers
     #: — the DAOFIND-style convolved-image centroid)
     centroid: str = "com"
-    #: guaranteed per-axis dither spread (px) the fused kernel's shared
-    #: per-tile source windows must absorb; frames whose registration
-    #: offset exceeds it are excluded per tile via coverage rather than
-    #: resampled from out-of-window data.  Tighter budgets shrink the
-    #: window one delivery block (~4% kernel time at 16 vs 64); set it
-    #: from the known dither pattern of the observing run
+    #: guaranteed per-axis dither spread (max-minus-min, px) the fused
+    #: kernel's shared per-tile source windows absorb: any frame set
+    #: whose registration offsets span at most this many pixels is
+    #: fully contained regardless of where the median offset sits;
+    #: frames beyond the spread are excluded per tile via coverage
+    #: rather than resampled from out-of-window data.  Tighter budgets
+    #: shrink the window by delivery blocks (~4% kernel time at 8 vs
+    #: 64); set it from the known dither pattern of the observing run
     dither_budget: int = 64
+
+    def __post_init__(self):
+        # catch typos up front: a misspelled mode would otherwise fall
+        # through to a default path silently
+        if self.centroid not in ("com", "kernel"):
+            raise ValueError(f"PipelineConfig.centroid must be 'com' or "
+                             f"'kernel', got {self.centroid!r}")
+        if self.detect_impl not in ("auto", "chunked", "fused"):
+            raise ValueError(f"PipelineConfig.detect_impl must be 'auto', "
+                             f"'chunked' or 'fused', got {self.detect_impl!r}")
+        if self.noise_center not in ("mean", "median"):
+            raise ValueError(f"PipelineConfig.noise_center must be 'mean' "
+                             f"or 'median', got {self.noise_center!r}")
 
 
 def _noise_row_stride(h: int) -> int:
@@ -207,6 +222,9 @@ def _detect_stars_fused(frames, bias, dark, flat, exp_ratios,
     from ..ops.pallas_detect import (_BIN, _TTX, _TTY, master_densities,
                                      pallas_detect_tiles)
 
+    if config.centroid not in ("com", "kernel"):
+        raise ValueError(f"PipelineConfig.centroid must be 'com' or "
+                         f"'kernel', got {config.centroid!r}")
     n, h, w = frames.shape
     # combined calibration planes (cal = raw * A - B - r * C)
     a_full, b_plane, c_plane, bias_t, dark_use, has_masters = \

@@ -14,10 +14,61 @@ from __future__ import annotations
 import functools
 from typing import Optional, Tuple
 
+import numpy as np
+
 import jax
 import jax.numpy as jnp
 
 from .stats import masked_median, sigma_clip_mask, sigma_clipped_stats
+
+
+def _bspline3(s: np.ndarray) -> np.ndarray:
+    """Cubic B-spline kernel values (support |s| < 2)."""
+    s = np.abs(np.asarray(s, np.float64))
+    return np.where(s < 1.0, 2.0 / 3.0 - s * s + 0.5 * s ** 3,
+                    np.where(s < 2.0, (2.0 - s) ** 3 / 6.0, 0.0))
+
+
+def _reflect_idx(p: np.ndarray, n: int) -> np.ndarray:
+    """scipy 'reflect'/'grid-mirror' index extension:
+    (d c b a | a b c d | d c b a)."""
+    if n == 1:
+        return np.zeros_like(p)
+    period = 2 * n
+    p = np.mod(p, period)
+    return np.where(p >= n, period - 1 - p, p)
+
+
+@functools.lru_cache(maxsize=64)
+def _spline_zoom_matrix(n_in: int, n_out: int) -> np.ndarray:
+    """(n_out, n_in) float64 matrix realizing scipy.ndimage.zoom's 1-D
+    order-3 spline zoom with mode='reflect', grid_mode=True — exactly
+    (value-asserted against scipy in tests).  The separable 2-D zoom is
+    then two small static matmuls (My @ grid @ Mx.T), the TPU-friendly
+    form of photutils' BkgZoomInterpolator (the reference's Background2D
+    upsampler, core/ApMeasureBackground.py:404-410).
+
+    Construction: the cubic-spline prefilter is the inverse of the
+    B-spline collocation matrix (rows: 1/6, 4/6, 1/6 with reflect
+    boundary folding) and the evaluation matrix carries the B-spline
+    weights at the zoomed grid-center coordinates
+    x = (i + 0.5) * n_in / n_out - 0.5."""
+    coll = np.zeros((n_in, n_in))
+    for i in range(n_in):
+        for off, wgt in ((-1, 1.0 / 6.0), (0, 4.0 / 6.0), (1, 1.0 / 6.0)):
+            j = int(_reflect_idx(np.asarray(i + off), n_in))
+            coll[i, j] += wgt
+    prefilter = np.linalg.inv(coll)
+    x = (np.arange(n_out, dtype=np.float64) + 0.5) * n_in / n_out - 0.5
+    base = np.floor(x).astype(int)
+    ev = np.zeros((n_out, n_in))
+    for k in range(-1, 3):
+        idx = base + k
+        w = _bspline3(x - idx)
+        j = _reflect_idx(idx, n_in)
+        for i in range(n_out):
+            ev[i, int(j[i])] += w[i]
+    return ev @ prefilter
 
 
 @functools.partial(jax.jit, static_argnames=("nsigma", "npixels", "dilate"))
@@ -59,7 +110,7 @@ def source_mask(
 @functools.partial(
     jax.jit,
     static_argnames=("nboxes_y", "nboxes_x", "filter_size", "sigma",
-                     "exclude_percentile"))
+                     "exclude_percentile", "upsample"))
 def background2d(
     data: jnp.ndarray,
     mask: Optional[jnp.ndarray] = None,
@@ -68,6 +119,7 @@ def background2d(
     filter_size: int = 3,
     sigma: float = 3.0,
     exclude_percentile: float = 25.0,
+    upsample: str = "bilinear",
 ) -> jnp.ndarray:
     """Full-resolution background model from a coarse box grid.
 
@@ -75,12 +127,19 @@ def background2d(
     masked fraction exceeds (100 - exclude_percentile)% are interpolated
     from the filtered grid (reference exclude-percentile semantics,
     core/ApMeasureBackground.py:404-410).  The grid is smoothed with a
-    (filter_size x filter_size) median filter and bilinearly upsampled.
+    (filter_size x filter_size) median filter and upsampled to full
+    resolution: ``upsample='bilinear'`` (fast path — one pass over the
+    output) or ``'spline'`` (order-3 B-spline zoom, exactly photutils'
+    BkgZoomInterpolator/scipy grid-mode zoom semantics, realized as two
+    static matmuls; the reference's engine,
+    core/ApMeasureBackground.py:404-410).
 
     The image must be evenly divisible by the box grid; the host layer
     pads/crops to a valid geometry (reference _set_bgbox_size rounds box
     sizes similarly, core/ApMeasureBackground.py:255-330).
     """
+    if upsample not in ("bilinear", "spline"):
+        raise ValueError(f"unknown upsample '{upsample}'")
     data = data.astype(jnp.float32)
     h, w = data.shape
     if h % nboxes_y or w % nboxes_x:
@@ -109,6 +168,11 @@ def background2d(
         padded[dy:dy + nboxes_y, dx:dx + nboxes_x]
         for dy in range(filter_size) for dx in range(filter_size)], axis=0)
     box_med = jnp.median(stack, axis=0)
+
+    if upsample == "spline":
+        my = jnp.asarray(_spline_zoom_matrix(nboxes_y, h), jnp.float32)
+        mx = jnp.asarray(_spline_zoom_matrix(nboxes_x, w), jnp.float32)
+        return my @ box_med @ mx.T
 
     # bilinear upsample box centers -> full resolution
     yc = (jnp.arange(h, dtype=jnp.float32) - (by - 1) / 2.0) / by

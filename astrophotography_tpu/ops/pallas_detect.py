@@ -346,8 +346,16 @@ def _make_kernel(n, band, w, h2, r, gr, gc, mean_w, inv_den,
         dr = at_peak(cr)
 
         def paroff(a, b, c, coef):
+            # empty tiles carry the -3e38 sentinel in b (the tile max):
+            # a - 2b + c would overflow f32 to +inf there, so mask tile
+            # validity explicitly instead of relying on 0/inf -> 0
+            # under IEEE semantics
+            valid = b > jnp.float32(-1e37)
+            a = jnp.where(valid, a, 0.0)
+            b = jnp.where(valid, b, 0.0)
+            c = jnp.where(valid, c, 0.0)
             den = a - 2.0 * b + c
-            safe = jnp.abs(den) > 1e-12
+            safe = valid & (jnp.abs(den) > 1e-12)
             off = jnp.where(safe, 0.5 * (a - c)
                             / jnp.where(safe, den, 1.0), 0.0)
             # a true local max keeps |off| < 0.5; ties/flat noise could
@@ -409,9 +417,12 @@ def pallas_detect_tiles(
     ``exp_ratios`` (N,) dark scalings.  Returns ``(maxv, idx, yoff,
     xoff)`` of shape (N, H//2//32, W//256): the strongest in-tile
     peak's density, its row-major position within the (32, 256) binned
-    tile (-3e38 / 0 where a tile has no peak), and its sub-pixel
-    3-point-parabola peak offsets (log values when the cross
-    neighborhood is positive — exact for Gaussian profiles) in binned
+    tile (-3e38 / 0 where a tile has no peak), and its sub-pixel peak
+    offsets — a plain 3-point parabola through the density cross
+    neighborhood, passed through an odd-quintic bias calibration fitted
+    against the exact filter-response model (``_paroff_calibration``;
+    the box-subtracted, row-binned profile is not Gaussian and a
+    log-parabola is non-monotone on its negative skirts) — in binned
     rows / full-res columns.  Geometry: H % (2*band) == 0,
     W % 256 == 0, band % 32 == 0.
     """

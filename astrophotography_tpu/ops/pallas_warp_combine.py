@@ -530,11 +530,15 @@ def pallas_warp_combine(
     behavior (reference scripts/resample_all.sh:300-314).
     ``align`` is 'roll' (dynamic lane/sublane rotates) or 'onehot'
     (MXU selection matmuls — fallback for toolchains without dynamic
-    rotate).  ``dither_budget`` is the guaranteed per-axis spread of
-    frame translations (px) the shared per-tile windows must absorb;
-    frames whose offsets exceed it are excluded per tile via coverage
-    rather than resampled from out-of-window data (raise it for
-    mosaic-scale offsets — it may demand taller tiles).  ``combine`` is 'average' (sigma-clipped mean), 'median'
+    rotate).  ``dither_budget`` is the guaranteed per-axis spread
+    (max minus min, px) of frame translations the shared per-tile
+    windows absorb: any frame set whose offsets span at most this many
+    pixels is fully contained regardless of where the median offset
+    sits (the window carries a full budget of margin on EACH side of
+    the median frame base).  Frames beyond the spread are excluded per
+    tile via coverage rather than resampled from out-of-window data
+    (raise it for mosaic-scale offsets — it may demand taller tiles).
+    ``combine`` is 'average' (sigma-clipped mean), 'median'
     (plain masked median, swarp COMBINE_TYPE MEDIAN), or 'sum'
     (clip-rescaled sum).
     ``snap_tol`` (px, static): frames whose affine differs from a pure
@@ -652,12 +656,16 @@ def pallas_warp_combine(
     # window extents in delivery blocks: the fewest that cover the tap
     # range (thp / tw+span), the block quantization of the origin
     # (bh-1 / bw-1), and the dither_budget spread (each extra block
-    # costs DMA and an operand pair)
+    # costs DMA and an operand pair).  The window centers on the MEDIAN
+    # frame base with margin = slack/2 per side; since the median can
+    # sit at one END of the spread (max |base - median| = spread), the
+    # slack must be 2x the guaranteed spread for containment to hold
+    # regardless of where the median lands
     thp_est = -(-(th + span) // 8) * 8
     twp_est = -(-(tw + span) // 128) * 128
-    vb = max(-(-(thp_est + bh - 1 + dither_budget) // bh),
+    vb = max(-(-(thp_est + bh - 1 + 2 * dither_budget) // bh),
              -(-thp_est // bh))
-    hb = max(-(-(tw + span + bw - 1 + dither_budget) // bw),
+    hb = max(-(-(tw + span + bw - 1 + 2 * dither_budget) // bw),
              -(-twp_est // bw))
     vb = min(vb, max(npi, -(-thp_est // bh)))
     hb = min(hb, max(npj, -(-twp_est // bw)))

@@ -146,6 +146,53 @@ def test_background2d_recovers_gradient():
     assert np.abs(resid).max() < 6.0
 
 
+def test_spline_zoom_matches_scipy_grid_mode():
+    """The order-3 B-spline upsample matrix reproduces
+    scipy.ndimage.zoom(order=3, mode='reflect', grid_mode=True) — the
+    photutils BkgZoomInterpolator semantics the reference's Background2D
+    uses (core/ApMeasureBackground.py:404-410) — exactly for realistic
+    mesh sizes (scipy's IIR boundary init deviates ~1e-4 only below
+    n=6)."""
+    import pytest
+
+    ndimage = pytest.importorskip("scipy.ndimage")
+    from astrophotography_tpu.ops.background import _spline_zoom_matrix
+
+    rng = np.random.default_rng(5)
+    for n_in, fac in [(8, 16), (16, 48), (16, 3), (12, 48), (7, 10)]:
+        v = rng.normal(100, 10, n_in)
+        got = _spline_zoom_matrix(n_in, n_in * fac) @ v
+        want = ndimage.zoom(v, fac, order=3, mode="reflect", grid_mode=True)
+        np.testing.assert_allclose(got, want, atol=1e-9)
+    # 2-D separable form
+    a = rng.normal(100, 5, (8, 16))
+    got2 = (_spline_zoom_matrix(8, 64) @ a
+            @ _spline_zoom_matrix(16, 64).T)
+    want2 = ndimage.zoom(a, (8, 4), order=3, mode="reflect", grid_mode=True)
+    np.testing.assert_allclose(got2, want2, atol=1e-9)
+
+
+def test_background2d_spline_vs_bilinear_bounded():
+    """upsample='spline' (photutils parity) recovers a smooth sky at
+    least as well as the bilinear fast path, and the two differ by a
+    bounded amount on realistic gradients (the documented divergence
+    when choosing the fast path)."""
+    rng = np.random.default_rng(3)
+    h, w = 128, 128
+    yy, xx = np.mgrid[0:h, 0:w]
+    sky = 100.0 + 0.3 * xx + 0.1 * yy + 20.0 * np.sin(xx / 40.0)
+    img = (sky + rng.normal(0, 3.0, (h, w))).astype(np.float32)
+    smask = np.asarray(source_mask(img, nsigma=3.0))
+    lin = np.asarray(background2d(img, smask, nboxes_y=8, nboxes_x=8))
+    spl = np.asarray(background2d(img, smask, nboxes_y=8, nboxes_x=8,
+                                  upsample="spline"))
+    # both model the sky; the spline (higher-order) does no worse
+    assert np.abs(spl - sky).mean() <= np.abs(lin - sky).mean() + 0.1
+    # bounded divergence between the two upsamplers
+    assert np.abs(spl - lin).max() < 3.0
+    assert np.abs(spl - lin).mean() < 0.5
+
+
 def test_source_mask_covers_stars():
     img = np.full((96, 96), 50.0, np.float32)
     img += synth.gaussian_star((96, 96), 48.0, 48.0, 80000.0, 3.0).astype(np.float32)

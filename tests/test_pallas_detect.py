@@ -22,6 +22,21 @@ def _decode(maxv, idx, f):
     return found
 
 
+def test_centroid_config_validated():
+    """A typo'd PipelineConfig mode raises at construction instead of
+    silently falling back to a default path."""
+    import pytest
+
+    from astrophotography_tpu.models.pipeline import PipelineConfig
+
+    with pytest.raises(ValueError, match="centroid"):
+        PipelineConfig(centroid="kernal")
+    with pytest.raises(ValueError, match="detect_impl"):
+        PipelineConfig(detect_impl="fused2")
+    with pytest.raises(ValueError, match="noise_center"):
+        PipelineConfig(noise_center="mode")
+
+
 def test_kernel_finds_isolated_stars():
     """Every isolated injected star lands a candidate in its tile at
     the (binned) peak position."""
@@ -48,8 +63,9 @@ def test_kernel_finds_isolated_stars():
 
 def test_kernel_density_matches_xla_fast_density():
     """Candidate density values equal the XLA _fast_density (f32) at
-    the same positions to ~1e-2 relative (the kernel computes the
-    identical separable filter in f32)."""
+    the same positions to ~1e-2 relative (the kernel evaluates the same
+    separable filter — sublane pass in f32 VMEM, lane pass as bf16 MXU
+    matmuls — so values agree to bf16-accumulation tolerance)."""
     from astrophotography_tpu.ops.detect import _fast_density
 
     rng = np.random.default_rng(3)

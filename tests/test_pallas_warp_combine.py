@@ -209,6 +209,36 @@ def test_large_dithers_degrade_gracefully_and_taller_tiles_recover():
     np.testing.assert_array_equal(tall == 0.0, ref == 0.0)
 
 
+def test_dither_budget_absorbs_full_spread_worst_case_median():
+    """dither_budget is a SPREAD (max-minus-min) guarantee: a frame set
+    whose offsets span exactly the budget must be fully contained even
+    when the median offset sits at one END of the spread (the worst
+    case for the median-centered window).  Regression: the window
+    margin used to be half the budget, silently coverage-excluding
+    frames > budget/2 from the median."""
+    rng = np.random.default_rng(21)
+    h, w = 192, 192
+    base = np.asarray(synth.make_rgb_scene((h, w), seed=21,
+                                           peak=5000)[..., 0], np.float32)
+    cal = np.stack([base + rng.normal(0, 3, (h, w)).astype(np.float32)
+                    for _ in range(4)])
+    budget = 16
+    # median offset ~0 on both axes; one frame deviates by a full
+    # budget — legal under the spread guarantee, lost under margin=B/2
+    offs = [(0.0, 0.0), (0.4, -0.3), (0.8, 0.5),
+            (float(budget), float(budget))]
+    mats = jnp.asarray(np.asarray(
+        [[[1.0, 0.0, tx], [0.0, 1.0, ty]] for tx, ty in offs], np.float32))
+    cal = jnp.asarray(cal)
+    ref = _reference(cal, mats)
+    got = np.asarray(pallas_warp_combine(cal, mats, tile=(32, 64),
+                                         dither_budget=budget,
+                                         interpret=True))
+    inner = ref != 0.0
+    np.testing.assert_allclose(got[inner], ref[inner], rtol=1e-4, atol=0.5)
+    np.testing.assert_array_equal(got == 0.0, ref == 0.0)
+
+
 def test_garbage_matrix_does_not_poison_good_frames():
     """A failed registration (wild matrix) must only lose ITS frame:
     the shared per-tile window centers on the median frame base, so the

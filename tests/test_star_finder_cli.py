@@ -112,6 +112,48 @@ def test_ap_measure_background_cli(tmp_path):
     assert abs(np.median(subbed)) < 2.0
 
 
+def test_ap_measure_background_srclist(tmp_path):
+    """--srclist builds the exclusion mask from an ap_find_stars source
+    list instead of re-detecting (reference flag,
+    scripts/ap_measure_background.py:67-74): the supplied list drives
+    the mask, and on the same stars the model matches the auto-detect
+    path."""
+    from astrophotography_tpu.cli.ap_measure_background import srclist_mask
+
+    rng = np.random.default_rng(41)
+    h, w = 256, 256
+    yy, xx = np.mgrid[0:h, 0:w]
+    sky = 150.0 + 0.1 * xx + 0.05 * yy
+    img, truth = synth.make_starfield(
+        (h, w), n_stars=12, fwhm=3.0, background=0.0, read_noise=0.0,
+        flux_range=(30000.0, 80000.0), seed=7, min_sep=30.0)
+    img = img + sky + rng.normal(0, 4.0, (h, w))
+    p = str(tmp_path / "in.fits")
+    write_image(p, img.astype(np.float32), Header([("EXPTIME", 30.0)]))
+
+    srclist = str(tmp_path / "src.fits")
+    assert ap_find_stars([p, srclist, "-l", "ERROR"]) == 0
+
+    out_auto = str(tmp_path / "bg_auto.fits")
+    out_src = str(tmp_path / "bg_src.fits")
+    assert ap_measure_background([p, out_auto, "-l", "ERROR"]) == 0
+    assert ap_measure_background([p, out_src, "--srclist", srclist,
+                                  "-l", "ERROR"]) == 0
+    bg_auto, _ = read_image(out_auto)
+    bg_src, _ = read_image(out_src)
+    # both model the true sky; srclist path matches the auto path
+    assert np.median(np.abs(bg_src - sky)) < 3.0
+    np.testing.assert_allclose(bg_src, bg_auto, atol=3.0)
+
+    # the supplied list is what drives the mask: every detected star is
+    # excluded, and a different srclist yields a different mask
+    m_full = srclist_mask((h, w), truth["x"], truth["y"], 6.0)
+    for tx, ty in zip(truth["x"], truth["y"]):
+        assert m_full[int(round(ty)), int(round(tx))]
+    m_one = srclist_mask((h, w), truth["x"][:1], truth["y"][:1], 6.0)
+    assert m_one.sum() < m_full.sum()
+
+
 def test_ap_quality_summary_cli(tmp_path):
     reports = [
         {"image_info": {"object": "M42", "telescope": "T05", "filter": "V",
