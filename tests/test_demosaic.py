@@ -23,6 +23,28 @@ def _flat_mosaic(h=16, w=16, r=1000, g=2000, b=3000):
     return vals[cmap], cmap
 
 
+def test_demosaic_goldens_pinned():
+    """Value-pinned golden outputs per demosaic algorithm (generated
+    once by tools/make_golden_demosaic.py and committed): catches any
+    algorithm regression even without rawpy — the reference's own
+    golden-stamp pattern (test_core.py:315-353, Octave-generated)."""
+    import os
+
+    from astrophotography_tpu.ops.demosaic import demosaic_ahd, demosaic_mhc
+
+    path = os.path.join(os.path.dirname(__file__), "data",
+                        "demosaic_golden.npz")
+    g = np.load(path)
+    vals = g["mosaic"].astype(np.float32)
+    cmap = g["color_map"].astype(np.int32)
+    for name, fn in [("bilinear", demosaic_bilinear),
+                     ("mhc", demosaic_mhc), ("ahd", demosaic_ahd)]:
+        got = np.asarray(fn(vals, cmap), np.float32)
+        np.testing.assert_allclose(got, g[name], rtol=1e-5, atol=0.05,
+                                   err_msg=f"demosaic '{name}' deviates "
+                                           f"from its pinned golden")
+
+
 def test_demosaic_flat_field_is_exact():
     """On a flat scene bilinear interpolation is exact everywhere."""
     mosaic, cmap = _flat_mosaic()
