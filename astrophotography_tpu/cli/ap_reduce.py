@@ -35,6 +35,24 @@ def parse(argv: Optional[List[str]]) -> argparse.Namespace:
                    help="skip star finding / quality reports")
     p.add_argument("--no-stack", action="store_true",
                    help="skip registration + stacking")
+    p.add_argument("--astrometry", action="store_true",
+                   help="run the per-image WCS stage (navigate_all "
+                        "parity): write nav-*.fits WCS-stamped images, "
+                        "add ra/dec to source lists, and stamp the "
+                        "stack with the reference frame's WCS. Without "
+                        "--key this is network-free: the first "
+                        "WCS-bearing frame of each group anchors "
+                        "registration-based solves for the rest")
+    p.add_argument("--key", default=None,
+                   help="astrometry.net API key: plate-solve every "
+                        "image through nova.astrometry.net (implies "
+                        "--astrometry)")
+    p.add_argument("--use-sip", dest="use_sip", action="store_true",
+                   help="request a SIP order-2 distortion from nova "
+                        "solves (with --key)")
+    p.add_argument("--astrometry_timeout", type=float, default=180.0,
+                   help="per-image solve timeout in seconds "
+                        "(default 180)")
     p.add_argument("--search_fwhm", type=float, default=3.0)
     p.add_argument("--search_nsigma", type=float, default=7.0)
     p.add_argument("--stack_sigma", type=float, default=5.0)
@@ -59,6 +77,11 @@ def parse(argv: Optional[List[str]]) -> argparse.Namespace:
 
 
 def run(ns: argparse.Namespace) -> None:
+    transport = None
+    if ns.key:
+        from ..wcs.astrometry import nova_transport
+
+        transport = nova_transport(ns.key, use_sip=ns.use_sip)
     cfg = ReduceConfig(
         fixcosmic=ns.fixcosmic,
         skybg=ns.skybg,
@@ -71,7 +94,10 @@ def run(ns: argparse.Namespace) -> None:
         combine_impl=ns.stack_engine,
         noclean=not ns.clean,
         quality=not ns.no_quality,
-        stack=not ns.no_stack)
+        stack=not ns.no_stack,
+        astrometry=ns.astrometry or bool(ns.key),
+        astrometry_transport=transport,
+        astrometry_timeout=ns.astrometry_timeout)
     if ns.watch is None:
         if ns.profile:
             # structured tracing (SURVEY.md §5 "tracing/profiling": the

@@ -11,9 +11,14 @@ module is the first-class replacement:
 * scan a directory of light frames, group by target:telescope:filter
   (headers first, iTelescope filename parsing as fallback);
 * per group: calibrate (device kernel), optional sky-background
-  subtraction, star finding + quality reports, then one fused
-  register+stack on device with per-frame exposure weights (the
-  FSCALE-from-EXPOSURE behavior of resample_all.sh:300-314);
+  subtraction, star finding + quality reports, an optional per-image
+  astrometric WCS stage (navigate_all.sh:5-20 parity — nav-*.fits
+  WCS-stamped images + ra/dec source columns, via per-image
+  nova solves or network-free registration against a WCS-bearing
+  anchor frame), then one fused register+stack on device with
+  per-frame exposure weights (the FSCALE-from-EXPOSURE behavior of
+  resample_all.sh:300-314); the stack inherits the reference frame's
+  solved WCS;
 * ``noclean`` idempotency: outputs that already exist are skipped
   (reference calibrate_all.sh clean/noclean handling), giving
   file-level checkpoint/resume exactly like the reference
@@ -146,6 +151,191 @@ class ReduceConfig:
     noclean: bool = True          # skip outputs that already exist
     quality: bool = True
     stack: bool = True
+    #: per-image astrometric WCS stage (the navigate_all.sh stage the
+    #: reference runs between calibration and stacking,
+    #: navigate_all.sh:5-20): writes a WCS-stamped nav-*.fits per
+    #: calibrated image and adds ra/dec columns to its source list,
+    #: and the group's stacked product inherits the reference frame's
+    #: solved WCS.  With astrometry_transport set (nova_transport or a
+    #: mock), every image is plate-solved through it (reference
+    #: core/ApAstrometry.py:66-141); without a transport the stage is
+    #: network-free: the first WCS-bearing frame of the group anchors
+    #: registration-based solves for the rest
+    #: (wcs.astrometry.solve_from_reference)
+    astrometry: bool = False
+    astrometry_transport: "Optional[object]" = None
+    astrometry_timeout: float = 180.0
+
+
+def _read_srclist_stars(srclist_path: str, cap: int = 64):
+    """(x, y, flux, valid) fixed-capacity 0-based arrays from an
+    ap_find_stars source list (AP_XYPOS is brightest-first)."""
+    from ..io.fits import open_fits
+
+    hdus = open_fits(srclist_path)
+    xy = hdus["AP_XYPOS"]
+    x = np.asarray(xy["X"], np.float32) - 1.0
+    y = np.asarray(xy["Y"], np.float32) - 1.0
+    try:
+        flux = np.asarray(hdus["AP_L1MAG"]["adu_per_sec"], np.float32)
+    except Exception:
+        flux = np.linspace(1.0, 0.5, len(x)).astype(np.float32)
+    n = min(len(x), cap)
+    xs = np.zeros(cap, np.float32)
+    ys = np.zeros(cap, np.float32)
+    fl = np.zeros(cap, np.float32)
+    valid = np.zeros(cap, bool)
+    xs[:n], ys[:n], fl[:n], valid[:n] = x[:n], y[:n], flux[:n], True
+    return xs, ys, fl, valid
+
+
+def _write_nav(cal_path: str, nav_path: str, srclist: str, wcs,
+               origin: str) -> None:
+    """WCS-stamped nav-*.fits copy of a calibrated image + ra/dec
+    columns in its source list (the outputs the reference's
+    navigate_all.sh stage produces via ap_astrometry,
+    core/ApAstrometry.py:496-520 and :455-494)."""
+    from ..io.fits import HDUList, ImageHDU, open_fits
+    from ..wcs.astrometry import Astrometry
+
+    hdus = open_fits(cal_path)
+    hdu = hdus[0]
+    hdr = hdu.header.copy()
+    wcs.to_header(hdr)
+    hdr["ASTRSOLV"] = (True, "Astrometric solution succeeded")
+    hdr.add_history(f"WCS via local registration solve: {origin}")
+    HDUList([ImageHDU(hdu.data, hdr)]).writeto(nav_path)
+    if os.path.exists(srclist):
+        src_hdus = open_fits(srclist)
+        Astrometry._update_sourcelist(src_hdus, srclist, wcs, "AP_XYPOS")
+
+
+def _navigate_group(cal_entries, outdir: str, config: ReduceConfig,
+                    produced: Dict[str, List[str]]):
+    """Per-image astrometric WCS stage for one target:telescope:filter
+    group — the navigate_all.sh stage (reference navigate_all.sh:5-20:
+    ap_find_stars -> ap_astrometry per image).  Returns
+    {cal_path: TanWCS} so the stack inherits the reference frame's
+    solved WCS.
+
+    With a transport every image is plate-solved through it; without
+    one the first WCS-bearing frame anchors registration-based solves
+    (wcs.astrometry.solve_from_reference) for the rest — no network.
+    ``noclean``: existing nav outputs are reused, not re-solved.
+    """
+    import jax.numpy as jnp
+
+    from ..io.fits import open_fits
+    from ..ops.register import REJECTED_TRANSLATION, estimate_similarity
+    from ..wcs.astrometry import Astrometry, solve_from_reference
+    from ..wcs.wcs import TanWCS
+    from .star_finder import StarFinder
+
+    entries = []
+    for cal_path, lf in cal_entries:
+        base = os.path.splitext(os.path.basename(lf.path))[0]
+        entries.append((cal_path,
+                        os.path.join(outdir, f"nav-{base}.fits"),
+                        os.path.join(outdir, f"src-{base}.fits")))
+    wcs_by_cal: Dict[str, object] = {}
+
+    def ensure_srclist(cal_path: str, srclist: str) -> bool:
+        if os.path.exists(srclist):
+            return True
+        try:
+            finder = StarFinder(cal_path, search_fwhm=config.search_fwhm,
+                                search_nsigma=config.search_nsigma)
+            finder.write_source_list(srclist)
+            return True
+        except Exception as exc:
+            logger.warning(f"Source list for {cal_path} failed: {exc}")
+            return False
+
+    pending = []
+    for cal_path, nav_path, srclist in entries:
+        if config.noclean and os.path.exists(nav_path):
+            try:
+                wcs_by_cal[cal_path] = TanWCS.from_header(
+                    open_fits(nav_path)[0].header)
+                produced["navigated"].append(nav_path)
+                logger.info(f"Skipping existing {nav_path}")
+                continue
+            except Exception:
+                pass  # unreadable/bad WCS: re-solve it below
+        pending.append((cal_path, nav_path, srclist))
+
+    if config.astrometry_transport is not None:
+        # reference behavior: one (network) solve per image
+        ast = Astrometry(transport=config.astrometry_transport)
+        for cal_path, nav_path, srclist in pending:
+            if not ensure_srclist(cal_path, srclist):
+                continue
+            try:
+                wcs = ast.solve(cal_path, srclist, nav_path,
+                                timeout=config.astrometry_timeout)
+            except Exception as exc:
+                logger.error(f"Astrometry failed for {cal_path}: "
+                             f"{type(exc).__name__}: {exc}")
+                continue
+            if wcs is not None:
+                wcs_by_cal[cal_path] = wcs
+                produced["navigated"].append(nav_path)
+        return wcs_by_cal
+
+    # network-free mode: anchor on a WCS-bearing frame of the group
+    anchor = None
+    for cal_path, nav_path, srclist in entries:
+        if cal_path in wcs_by_cal:     # an already-navigated output
+            anchor = (cal_path, nav_path, srclist, wcs_by_cal[cal_path])
+            break
+    if anchor is None:
+        for cal_path, nav_path, srclist in entries:
+            try:
+                wcs = TanWCS.from_header(open_fits(cal_path)[0].header)
+            except Exception:
+                continue
+            anchor = (cal_path, nav_path, srclist, wcs)
+            break
+    if anchor is None:
+        logger.warning(
+            "astrometry: no transport configured and no frame in the "
+            "group carries a WCS; skipping the navigate stage (give "
+            "--key for network solves, or solve one frame first)")
+        return wcs_by_cal
+    ref_cal, ref_nav, ref_src, ref_wcs = anchor
+    if not ensure_srclist(ref_cal, ref_src):
+        return wcs_by_cal
+    if any(p[0] == ref_cal for p in pending):
+        _write_nav(ref_cal, ref_nav, ref_src, ref_wcs,
+                   origin="anchor frame's own header WCS")
+        wcs_by_cal[ref_cal] = ref_wcs
+        produced["navigated"].append(ref_nav)
+    rx, ry, rf, rv = _read_srclist_stars(ref_src)
+    for cal_path, nav_path, srclist in pending:
+        if cal_path == ref_cal:
+            continue
+        if not ensure_srclist(cal_path, srclist):
+            continue
+        tx, ty, tf, tv = _read_srclist_stars(srclist)
+        sim = estimate_similarity(
+            jnp.asarray(rx), jnp.asarray(ry), jnp.asarray(rf),
+            jnp.asarray(rv), jnp.asarray(tx), jnp.asarray(ty),
+            jnp.asarray(tf), jnp.asarray(tv))
+        n_inl = int(sim.n_inliers)
+        if n_inl < 4 or abs(float(sim.tx)) >= REJECTED_TRANSLATION / 2:
+            logger.warning(f"astrometry: registration of {cal_path} "
+                           f"against the anchor rejected ({n_inl} "
+                           "inliers); no WCS for this frame")
+            continue
+        wcs = solve_from_reference(ref_wcs, sim, sip_order=2)
+        _write_nav(cal_path, nav_path, srclist, wcs,
+                   origin=f"registered to "
+                          f"{os.path.basename(ref_cal)} "
+                          f"({n_inl} inliers, rms "
+                          f"{float(sim.rms):.2f} px)")
+        wcs_by_cal[cal_path] = wcs
+        produced["navigated"].append(nav_path)
+    return wcs_by_cal
 
 
 def reduce_all(
@@ -167,7 +357,7 @@ def reduce_all(
     timer = StageTimer()
     os.makedirs(outdir, exist_ok=True)
     produced: Dict[str, List[str]] = {"calibrated": [], "quality": [],
-                                      "stacks": []}
+                                      "navigated": [], "stacks": []}
     lights = scan_lights(datadir)
     if not lights:
         raise RuntimeError(f"no light frames found under {datadir}")
@@ -220,6 +410,13 @@ def reduce_all(
                         logger.warning(f"Quality failed for {out_path}: {exc}")
                 produced["quality"].append(qual_path)
 
+        # per-image astrometric WCS (the navigate_all.sh stage)
+        nav_wcs: Dict[str, object] = {}
+        if config.astrometry and cal_paths:
+            with timer.stage(f"navigate {target}:{telescope}:{filt}"):
+                nav_wcs = _navigate_group(cal_paths, outdir, config,
+                                          produced)
+
         # register + stack the group
         if config.stack and len(cal_paths) >= 2:
             stack_name = (f"stack-{target}-{telescope}-{filt}.fits"
@@ -271,6 +468,16 @@ def reduce_all(
                 # misdescribe the stack by the inter-frame offset
                 ref_hdr_i = int(diag.get("ref_frame", 0))
                 out_hdr = hdrs[ref_hdr_i].copy() if hdrs else Header()
+                # the stack lives on the reference frame's pixel grid,
+                # so that frame's solved WCS describes the stack
+                # exactly (the navigate stage's product surviving into
+                # the stacked output, as the reference's swarp chain
+                # propagates nav_* WCS into its coadds)
+                ref_cal_path = cal_paths[ref_hdr_i][0]
+                if ref_cal_path in nav_wcs:
+                    nav_wcs[ref_cal_path].to_header(out_hdr)
+                    out_hdr["ASTRSOLV"] = (True,
+                                           "WCS from navigate stage")
                 out_hdr["IMAGETYP"] = ("STACK", "Registered stacked image")
                 out_hdr["NSTACK"] = (len(frames),
                                      "Number of frames in stack")
