@@ -33,6 +33,7 @@ def _detect(img, topk, mode="exact", max_stars=32, bin_rows=False):
                       stats=not bin_rows, bin_rows=bin_rows)
 
 
+@pytest.mark.slow
 def test_tile_topk_registration_error_bound():
     """Tile-mode peak ranking changes WHICH stars register, not where
     they are; the recovered transform must agree with global mode (and

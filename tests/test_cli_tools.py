@@ -216,6 +216,7 @@ def test_ap_measure_background_odd_geometry(tmp_path):
     assert abs(np.median(sub_img[far])) < 3.0
 
 
+@pytest.mark.slow
 def test_ap_stack_cli(tmp_path):
     """ap_stack: the standalone register+stack tool (the reference's
     swarp resample+combine role, scripts/resample_all.sh:62-79)."""
@@ -253,6 +254,7 @@ def test_ap_stack_cli(tmp_path):
     assert abs(np.median(inner) - 120.0) < 6.0
 
 
+@pytest.mark.slow
 def test_ap_stack_union_canvas(tmp_path):
     """--canvas union builds an output grid covering every registered
     frame (the swarp mosaic behavior): frames dithered by +-40 px all

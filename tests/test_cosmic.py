@@ -7,6 +7,7 @@ from astrophotography_tpu import synth
 from astrophotography_tpu.ops.cosmic import lacosmic
 
 
+@pytest.mark.slow
 def test_lacosmic_removes_crs_keeps_stars():
     img, truth = synth.make_starfield(
         (128, 128), n_stars=8, fwhm=3.5, background=300.0,
@@ -38,6 +39,7 @@ def test_lacosmic_clean_image_untouched():
     assert np.abs(cleaned - img).max() < 100.0
 
 
+@pytest.mark.slow
 def test_lacosmic_saturated_star_not_flagged():
     img = np.full((64, 64), 200.0, np.float32)
     img += synth.gaussian_star((64, 64), 32.0, 32.0, 3.0e6, 3.0).astype(np.float32)

@@ -9,6 +9,9 @@ import os
 import numpy as np
 import pytest
 
+# Pallas-interpreter / virtual-mesh / soak heavyweights: full-suite tier
+pytestmark = pytest.mark.slow
+
 from astrophotography_tpu import synth
 from astrophotography_tpu.io.fits import Header, read_image, write_image
 from astrophotography_tpu.cli.ap_reduce import main as ap_reduce

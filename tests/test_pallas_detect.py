@@ -2,12 +2,16 @@
 XLA detection path (interpreter mode on CPU)."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
 from astrophotography_tpu import synth
 from astrophotography_tpu.ops.pallas_detect import (master_densities,
                                                     pallas_detect_tiles)
+
+# Pallas-interpreter heavyweights: full-suite tier
+pytestmark = pytest.mark.slow
 
 
 def _decode(maxv, idx, f):
@@ -25,8 +29,6 @@ def _decode(maxv, idx, f):
 def test_centroid_config_validated():
     """A typo'd PipelineConfig mode raises at construction instead of
     silently falling back to a default path."""
-    import pytest
-
     from astrophotography_tpu.models.pipeline import PipelineConfig
 
     with pytest.raises(ValueError, match="centroid"):

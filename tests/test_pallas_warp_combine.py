@@ -3,6 +3,9 @@
 
 import numpy as np
 import pytest
+
+# Pallas-interpreter / virtual-mesh / soak heavyweights: full-suite tier
+pytestmark = pytest.mark.slow
 import jax
 import jax.numpy as jnp
 

@@ -95,6 +95,7 @@ def test_sharded_calibrate_batch(devices):
     assert len(out.sharding.device_set) == 8
 
 
+@pytest.mark.slow
 def test_sharded_standard_pipeline_matches_single_device(devices):
     """The full standard pipeline jitted under a (frame, space) mesh
     with frame-sharded inputs matches the unsharded result — XLA

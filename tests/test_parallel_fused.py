@@ -10,6 +10,9 @@ PERFORMANCE.md "Multi-chip").
 
 import numpy as np
 import pytest
+
+# Pallas-interpreter / virtual-mesh / soak heavyweights: full-suite tier
+pytestmark = pytest.mark.slow
 import jax
 import jax.numpy as jnp
 
@@ -142,6 +145,35 @@ def test_sharded_lean_pipeline_matches_single_device():
     assert both.mean() > 0.8
     err = np.abs(got[both] - ref[both])
     assert (err > 0.5 + 1e-4 * np.abs(ref[both])).mean() < 3e-4
+
+
+@pytest.mark.slow_multichip
+def test_sharded_fused_large_geometry_parity():
+    """The PERFORMANCE.md large-geometry multi-chip parity claim,
+    regenerable on demand (opt-in — the Pallas interpreter needs tens
+    of minutes for this geometry on a 1-core host):
+
+        python -m pytest tests/test_parallel_fused.py -m slow_multichip
+
+    6 x 1024^2 frames, 8-way row sharding vs the single-device kernel:
+    tight value parity on jointly-covered pixels and an identical zero
+    (coverage) pattern."""
+    devs = jax.devices()
+    assert len(devs) >= 8
+    mesh = frame_space_mesh(n_frame=1, n_space=8, devices=devs[:8])
+    cal, mats = _stack(n=6, h=1024, w=1024, dither=6.0)
+    ref = np.asarray(pallas_warp_combine(cal, mats, tile=(128, 512)))
+    with mesh:
+        got = np.asarray(sharded_warp_combine(cal, mats, mesh, halo=16,
+                                              tile=(64, 512)))
+    both = (got != 0) & (ref != 0)
+    assert both.mean() > 0.9
+    err = np.abs(got[both] - ref[both])
+    # ulp-level sigma-clip tie flips allowed, everything else tight
+    tol = 0.5 + 1e-4 * np.abs(ref[both])
+    assert (err > tol).mean() < 1e-4
+    assert np.median(err) < 1e-3
+    np.testing.assert_array_equal(got == 0.0, ref == 0.0)
 
 
 def test_sharded_fused_rejects_bad_halo():

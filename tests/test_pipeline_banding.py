@@ -1,6 +1,10 @@
 """Banded/streamed pipeline must match the whole-stack pipeline exactly."""
 
 import numpy as np
+import pytest
+
+# Pallas-interpreter / virtual-mesh / soak heavyweights: full-suite tier
+pytestmark = pytest.mark.slow
 import jax.numpy as jnp
 
 from astrophotography_tpu.models import PipelineConfig, calibrate_register_stack

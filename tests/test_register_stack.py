@@ -138,6 +138,7 @@ def _make_dithered_stack(n_frames=6, shape=(192, 192), seed=3):
     return np.stack(frames), truths, (base_x, base_y, flux)
 
 
+@pytest.mark.slow
 def test_full_pipeline_registers_and_stacks():
     frames, truths, (bx, by, bf) = _make_dithered_stack()
     cfg = PipelineConfig(max_stars=32, match_k=12, detect_nsigma=7.0)
@@ -167,6 +168,7 @@ def test_full_pipeline_registers_and_stacks():
     assert np.std(region - np.median(region)) < 10.0
 
 
+@pytest.mark.slow
 def test_pipeline_auto_reference_frame():
     """ref_frame='auto' registers onto the frame with the most stars —
     a nearly starless frame 0 (e.g. clouds) no longer poisons the stack
@@ -204,6 +206,7 @@ def test_pipeline_auto_reference_frame():
     assert matched == len(bx)
 
 
+@pytest.mark.slow
 def test_pipeline_with_calibration_masters():
     frames, truths, _ = _make_dithered_stack(n_frames=4, seed=9)
     bias = np.full(frames.shape[1:], 300.0, np.float32)
@@ -216,6 +219,7 @@ def test_pipeline_with_calibration_masters():
                                np.asarray(stacked_ref), atol=1e-2)
 
 
+@pytest.mark.slow
 def test_degenerate_registration_excludes_frame():
     """A frame whose registration finds < 2 inliers (e.g. one star)
     must come back as a far-translated unit transform — coverage then

@@ -36,6 +36,7 @@ def starfield_fits(tmp_path_factory):
     return path, truth, tmp
 
 
+@pytest.mark.slow
 def test_ap_find_stars_end_to_end(starfield_fits):
     path, truth, tmp = starfield_fits
     srclist = str(tmp / "srclist.fits")
@@ -112,6 +113,7 @@ def test_ap_measure_background_cli(tmp_path):
     assert abs(np.median(subbed)) < 2.0
 
 
+@pytest.mark.slow
 def test_ap_measure_background_srclist(tmp_path):
     """--srclist builds the exclusion mask from an ap_find_stars source
     list instead of re-detecting (reference flag,
