@@ -159,22 +159,49 @@ def estimate_similarity(
     tx_c = tx_i - (c_c * rx_i - s_c * ry_i)
     ty_c = ty_i - (s_c * rx_i + c_c * ry_i)
 
-    # score candidates: count ref stars that land within tol of any tgt star
-    def score(c, s, tx0, ty0):
-        mx = c * rx - s * ry + tx0        # (k,)
-        my = s * rx + c * ry + ty0
-        d2 = ((mx[:, None] - tx_[None, :]) ** 2
-              + (my[:, None] - ty_[None, :]) ** 2)
-        d2 = jnp.where(rv[:, None] & tv[None, :], d2, jnp.inf)
-        return jnp.sum(jnp.min(d2, axis=1) < inlier_tol ** 2)
-
+    # score candidates: count ref stars that land within tol of any tgt
+    # star.  The candidate axis is kept MINOR (TPU lanes): a
+    # per-candidate vmap over (k, k) distance matrices pads every tiny
+    # row to the (8, 128) vreg — ~95% of the VPU wasted and, vmapped
+    # over a 100-frame stack, tens of ms of registration wall time;
+    # candidates-on-lanes fills every vreg (measured ~4x on the
+    # registration stage at n=100, k=10).  Chunked so the (k, k, C)
+    # temporary stays bounded under the frame vmap.
     flat_c = c_c.reshape(-1)
     flat_s = s_c.reshape(-1)
     flat_tx = tx_c.reshape(-1)
     flat_ty = ty_c.reshape(-1)
     flat_ok = cand_ok.reshape(-1)
-    scores = jax.vmap(score)(flat_c, flat_s, flat_tx, flat_ty)
+    n_cand = n_pairs * n_pairs
+    chunk = min(n_cand, max(512, (131072 // (k * k)) // 128 * 128))
+    pad = (-n_cand) % chunk
+    if pad:
+        flat_c = jnp.pad(flat_c, (0, pad), constant_values=1.0)
+        flat_s = jnp.pad(flat_s, (0, pad))
+        flat_tx = jnp.pad(flat_tx, (0, pad))
+        flat_ty = jnp.pad(flat_ty, (0, pad))
+    pair_ok = (rv[:, None] & tv[None, :])[..., None]
+
+    def score_chunk(cc, sc, txc, tyc):
+        mx = cc[None, :] * rx[:, None] - sc[None, :] * ry[:, None] \
+            + txc[None, :]                                   # (k, C)
+        my = sc[None, :] * rx[:, None] + cc[None, :] * ry[:, None] \
+            + tyc[None, :]
+        d2 = ((mx[:, None, :] - tx_[None, :, None]) ** 2
+              + (my[:, None, :] - ty_[None, :, None]) ** 2)  # (k, k, C)
+        d2 = jnp.where(pair_ok, d2, jnp.inf)
+        return jnp.sum(jnp.min(d2, axis=1) < inlier_tol ** 2,
+                       axis=0).astype(jnp.int32)             # (C,)
+
+    scores = jnp.concatenate([
+        score_chunk(flat_c[o:o + chunk], flat_s[o:o + chunk],
+                    flat_tx[o:o + chunk], flat_ty[o:o + chunk])
+        for o in range(0, n_cand + pad, chunk)])[:n_cand]
     scores = jnp.where(flat_ok, scores, -1)
+    flat_c = flat_c[:n_cand]
+    flat_s = flat_s[:n_cand]
+    flat_tx = flat_tx[:n_cand]
+    flat_ty = flat_ty[:n_cand]
     best = jnp.argmax(scores)
     c_b, s_b = flat_c[best], flat_s[best]
     tx_b, ty_b = flat_tx[best], flat_ty[best]

@@ -4,6 +4,15 @@ Pieces: (a) the pallas_detect_tiles kernel alone, (b) noise stats on
 subsampled rows, (c) the post-kernel top-k + centroid path.
 """
 import os
+
+# repo-local persistent XLA compile cache (see bench.py)
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                 ".jax_cache"))
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "5")
+
+import os
 import sys
 import time
 

@@ -1,5 +1,14 @@
 """Probe warp+combine kernel configs (tile, frame_group) on TPU."""
 import os
+
+# repo-local persistent XLA compile cache (see bench.py)
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                 ".jax_cache"))
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "5")
+
+import os
 import sys
 import time
 

@@ -10,6 +10,15 @@ Usage: python tools/stagebench.py [--frames N] [--size S]
 Timings are min-of-3 with a device-reduction sync (block_until_ready
 does not synchronize through the axon tunnel).
 """
+import os
+
+# repo-local persistent XLA compile cache (see bench.py)
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                 ".jax_cache"))
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "5")
+
 import argparse
 import os
 import sys
@@ -54,7 +63,8 @@ def main():
     ap.add_argument("--frames", type=int, default=100)
     ap.add_argument("--size", type=int, default=4096)
     ap.add_argument("--stage", default="all",
-                    choices=["detect", "kernel", "full", "all"])
+                    choices=["floor", "detect", "kernel", "register",
+                             "full", "all"])
     args = ap.parse_args()
     n, s = args.frames, args.size
 
@@ -63,7 +73,7 @@ def main():
                          detect_chunk=2, detect_topk="tile",
                          detect_fast=True, detect_bin_rows=True,
                          centroid="kernel", warp_span=8, fused_apron=False,
-                         dither_budget=16)
+                         dither_budget=8)
 
     def sync(x):
         return float(jnp.sum(x))
@@ -78,6 +88,20 @@ def main():
         best = min(ts)
         print(f"{label}: {best * 1000:.1f} ms "
               f"({n * s * s / best / 1e9:.2f} GPix/s)", flush=True)
+
+    if args.stage in ("floor", "register", "all"):
+        # per-invocation tunnel/dispatch floor: a trivial jit round
+        # trip costs ~25 ms through the remote axon tunnel, so NO
+        # standalone stage can measure below it — subtract this from
+        # the stage numbers to get device time
+        tiny = jnp.ones((8,), jnp.float32)
+
+        @jax.jit
+        def triv(a):
+            return jnp.sum(a * 2.0)
+
+        timeit("dispatch floor (trivial jit round trip)",
+               lambda: float(triv(tiny)))
 
     if args.stage in ("detect", "all"):
         @jax.jit
@@ -102,10 +126,29 @@ def main():
 
         def kern():
             out = pallas_warp_combine(frames_d, mats_d, masters=masters,
-                                      span=8, apron=False)
+                                      span=8, apron=False, dither_budget=8)
             return sync(out)
 
         timeit("fused warp+combine kernel", kern)
+
+    if args.stage in ("register", "all"):
+        from astrophotography_tpu.models.pipeline import (
+            _solve_frame_similarities)
+
+        @jax.jit
+        def det_stars(fr, b):
+            return _detect_stars_fused(fr, b, None, None,
+                                       jnp.ones((n,), jnp.float32), cfg)
+
+        stars = det_stars(frames_d, bias_d)
+        _ = float(jnp.sum(stars.x))  # materialize off the timed path
+
+        @jax.jit
+        def reg_only(st):
+            _sims, matrices, _ref = _solve_frame_similarities(st, n, cfg)
+            return jnp.sum(matrices)
+
+        timeit("registration stage", lambda: float(reg_only(stars)))
 
     if args.stage in ("full", "all"):
         def full():
