@@ -227,6 +227,10 @@ def _make_kernel(n, band, w, h2, r, gr, gc, mean_w, inv_den,
             csel = jax.lax.broadcasted_iota(jnp.int32, (nrows, 2 * nrows), 1)
             p = ((csel == 2 * rsel) | (csel == 2 * rsel + 1)) \
                 .astype(jnp.float32) * 0.5
+            # probed and rejected: an exact hi/lo bf16 split of the u16
+            # values (two bf16 matmuls) measured 2 ms SLOWER than this
+            # single f32 matmul — the hi/lo extraction VPU ops exceed
+            # the MXU rate difference at this operand shape
             return jnp.dot(p, x, preferred_element_type=jnp.float32)
 
         a_prev = a3[0][:] if has_flat else None

@@ -319,14 +319,59 @@ def _make_kernel(n, th, tw, span, h_in, w_in, vb, hb, bh, bw, oy, ox,
             ws = [_l3(a_u - s) for s in range(span)]
             wsum = functools.reduce(lambda x, y: x + y, ws)
             inv = jnp.where(jnp.abs(wsum) > 1e-3, 1.0 / wsum, 0.0)
-            mid = (ws[0] * inv) * alig[0:thp, 0:tw]
-            for s in range(1, span):
-                mid = mid + (ws[s] * inv) * alig[:, s:s + tw]
+            if tw % 128 == 0 and twp == tw + 128 and span <= 128:
+                # banded-matrix MXU horizontal pass: with scalar
+                # weights mid = alig @ B (B[c+s, c] = ws[s]*inv), run
+                # per 128-lane output tile on its 256-lane window.
+                # The per-term sliding VPU formulation below costs ~3
+                # vector ops per element-term (each tap slice is lane-
+                # UNALIGNED — measured 8.3 ms/span-unit of the 100 x
+                # 4096^2 kernel, ~4x the FMA roofline); the banded
+                # matmul does the alignment inside the MXU.  f32
+                # values and weights ride the MXU as an exact hi/lo
+                # bf16 split (3 matmuls; the dropped lo@lo term is
+                # ~2^-18 relative — far below the unfused path's own
+                # reassociation noise)
+                jj = jax.lax.broadcasted_iota(jnp.int32, (256, 128), 0)
+                cc2 = jax.lax.broadcasted_iota(jnp.int32, (256, 128), 1)
+                bmat = jnp.zeros((256, 128), jnp.float32)
+                for s in range(span):
+                    bmat = bmat + jnp.where(jj == cc2 + s, ws[s] * inv,
+                                            0.0)
+                b_hi = bmat.astype(jnp.bfloat16)
+                b_lo = (bmat - b_hi.astype(jnp.float32)) \
+                    .astype(jnp.bfloat16)
+                a_f = alig[0:thp, :]
+                a_hi = a_f.astype(jnp.bfloat16)
+                a_lo = (a_f - a_hi.astype(jnp.float32)) \
+                    .astype(jnp.bfloat16)
+                tiles = []
+                for t2 in range(tw // 128):
+                    sl = slice(128 * t2, 128 * t2 + 256)
+                    ah = a_hi[:, sl]
+                    al = a_lo[:, sl]
+                    tiles.append(
+                        jnp.dot(ah, b_hi,
+                                preferred_element_type=jnp.float32)
+                        + jnp.dot(ah, b_lo,
+                                  preferred_element_type=jnp.float32)
+                        + jnp.dot(al, b_hi,
+                                  preferred_element_type=jnp.float32))
+                mid = jnp.concatenate(tiles, axis=1)
+            else:
+                mid = (ws[0] * inv) * alig[0:thp, 0:tw]
+                for s in range(1, span):
+                    mid = mid + (ws[s] * inv) * alig[:, s:s + tw]
             a_v = i.astype(jnp.float32) * th + m12 \
                 - vbase.astype(jnp.float32)
             ws2 = [_l3(a_v - s) for s in range(span)]
             wsum2 = functools.reduce(lambda x, y: x + y, ws2)
             inv2 = jnp.where(jnp.abs(wsum2) > 1e-3, 1.0 / wsum2, 0.0)
+            # vertical pass stays on the VPU: its tap slices shift
+            # SUBLANES (cheap), and an MXU formulation measured 7.5 ms
+            # SLOWER at 100x4096^2 (contraction dim 72 underfills the
+            # systolic array and the extra hi/lo splits of mid cost
+            # more than the slides)
             warped = (ws2[0] * inv2) * mid[0:th, :]
             for s in range(1, span):
                 warped = warped + (ws2[s] * inv2) * mid[s:s + th, :]

@@ -256,6 +256,28 @@ def test_garbage_matrix_does_not_poison_good_frames():
     np.testing.assert_allclose(got[inner], ref[inner], rtol=1e-4, atol=0.5)
 
 
+def test_translation_mxu_taps_match_sliding_taps():
+    """The banded bf16-split MXU horizontal pass (engaged when
+    tw % 128 == 0) matches the sliding VPU formulation (engaged at
+    other tile widths) to hi/lo-split tolerance (~2^-16 relative) —
+    same frames, same transforms, different tile geometry only."""
+    rng = np.random.default_rng(77)
+    n, h, w = 4, 96, 512
+    cal = jnp.asarray(rng.uniform(0, 60000, (n, h, w)).astype(np.float32))
+    mats = np.tile(np.eye(2, 3, dtype=np.float32), (n, 1, 1))
+    mats[:, 0, 2] = rng.uniform(-3, 3, n)
+    mats[:, 1, 2] = rng.uniform(-3, 3, n)
+    mats_j = jnp.asarray(mats)
+    mxu = np.asarray(pallas_warp_combine(cal, mats_j, tile=(32, 128),
+                                         span=8, interpret=True))
+    sliding = np.asarray(pallas_warp_combine(cal, mats_j, tile=(32, 64),
+                                             span=8, interpret=True))
+    both = (mxu != 0) & (sliding != 0)
+    assert both.mean() > 0.8
+    np.testing.assert_allclose(mxu[both], sliding[both], rtol=2e-4,
+                               atol=0.05)
+
+
 def test_translation_snap_matches_general_path():
     """Exact-translation frames take the scalar-weight fast tap path;
     it must agree with the general per-pixel path to float
