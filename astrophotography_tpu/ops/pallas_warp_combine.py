@@ -636,8 +636,10 @@ def pallas_warp_combine(
     th, tw = tile
     if combine_chunk is None and tw >= 1024:
         # wide tiles rely on combine chunking to fit the scoped-VMEM
-        # cap (results are chunk-invariant; see docstring)
-        combine_chunk = 256
+        # cap (results are chunk-invariant; see docstring).  128 beats
+        # 256/512 (155 vs 163/160 ms standalone at 100x4096^2): the
+        # smaller sort working set pipelines better through VMEM
+        combine_chunk = 128
     if th <= span:
         raise ValueError("tile height must exceed span")
     # source-window DELIVERY blocks: tile-sized by default.  block_div

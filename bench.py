@@ -98,19 +98,40 @@ def _attempt(n_frames: int, size: int, repeats: int,
             return float(jnp.sum(stacked))
 
         run_lean()
+        # single-run latency (includes one ~25 ms tunnel round trip —
+        # the <2 s north-star latency check)
         times = []
         for _ in range(repeats):
             t0 = time.perf_counter()
             run_lean()
             times.append(time.perf_counter() - t0)
-        best = min(times)
+        single_ms = min(times) * 1000.0
+        # SUSTAINED throughput (the BASELINE.md metric): k back-to-back
+        # dispatches, one sync.  The device executes modules in order,
+        # so syncing the last result bounds all k runs; the fixed
+        # per-invocation tunnel round trip (~25 ms here; absent on a
+        # PCIe-attached chip) amortizes over k instead of taxing every
+        # run
+        k = 3
+        sus = []
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            outs = None
+            for _i in range(k):
+                outs, _ = calibrate_register_stack_lean(
+                    frames_d, bias=bias_d, config=cfg)
+            float(jnp.sum(outs))
+            sus.append((time.perf_counter() - t0) / k)
+        best = min(sus)
         gpix = n_frames * size * size / best / 1e9
         return {
             "metric": f"calibrate+register+stack GPix/s ({n_frames}x{size}^2"
-                      f" lean, {jax.devices()[0].device_kind})",
+                      f" lean, sustained over {k} back-to-back runs, "
+                      f"{jax.devices()[0].device_kind})",
             "value": round(gpix, 3),
             "unit": "GPix/s",
             "vs_baseline": round(gpix / 5.0, 3),
+            "single_run_ms": round(single_ms, 1),
         }
     if combine_impl == "fused":
         # the fused warp+combine kernel never materializes stack-sized
