@@ -131,7 +131,10 @@ def run(ns: argparse.Namespace) -> None:
         radius = ns.srclist_radius
         if radius is None:
             fwhm = src[0].header.get("AP_FWHM")
-            radius = float(np.ceil(2.0 * float(fwhm))) if fwhm else 6.0
+            # AP_FWHM is NaN when zero stars fit — fall back to 6 px
+            radius = (float(np.ceil(2.0 * float(fwhm)))
+                      if fwhm is not None and np.isfinite(float(fwhm))
+                      and float(fwhm) > 0 else 6.0)
         m = srclist_mask((h, w), xs, ys, radius)
         logger.info(f"Exclusion mask from {len(xs)} srclist sources "
                     f"(radius {radius:.1f} px, {m.mean() * 100:.2f}% "

@@ -82,6 +82,12 @@ def run(ns: argparse.Namespace) -> None:
         from ..wcs.astrometry import nova_transport
 
         transport = nova_transport(ns.key, use_sip=ns.use_sip)
+    elif ns.use_sip:
+        from ..utils.logger import logger as _log
+
+        _log.warning("--use-sip has no effect without --key: the "
+                     "network-free registration solve inherits SIP from "
+                     "the anchor frame's own WCS")
     cfg = ReduceConfig(
         fixcosmic=ns.fixcosmic,
         skybg=ns.skybg,

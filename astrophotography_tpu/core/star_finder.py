@@ -183,6 +183,21 @@ class StarFinder:
         x = jnp.asarray(self._table["xcenter"])
         y = jnp.asarray(self._table["ycenter"])
         n = len(self._table["id"])
+        if n == 0:
+            # zero detections: no cutouts to fit — report NaN medians
+            # (written as blank FITS cards) instead of crashing on
+            # zero-size reductions
+            nan = float("nan")
+            self._psf = None
+            self._nsrcs_fitted = 0
+            self._fwhm_x = self._fwhm_y = (nan, nan, 0)
+            self._fwhm_both = (nan, nan, 0)
+            logger.warning("measure_fwhm: no detected sources to fit")
+            if direction == "x":
+                return self._fwhm_x
+            if direction == "y":
+                return self._fwhm_y
+            return self._fwhm_both
         sel = self.select_fit_candidates(
             self._table["xcenter"], self._table["ycenter"],
             self._table["adu_per_sec"], self._data.shape, box,
@@ -272,9 +287,13 @@ class StarFinder:
             kw["APRX_YPS"] = (3600 * yps_deg,
                               "[arcseconds] Approximate Y-axis plate scale")
         if self._fwhm_both is not None:
-            kw["AP_FWHM"] = (self._fwhm_both[0],
+            # zero fitted stars leaves NaN medians, which FITS headers
+            # cannot encode — write blank (undefined-value) cards so
+            # the source list is still produced; readers get None back
+            med, mad = self._fwhm_both[0], self._fwhm_both[1]
+            kw["AP_FWHM"] = (med if np.isfinite(med) else None,
                              "[pix] Median FWHM of fitted stars in image")
-            kw["AP_EFWHM"] = (self._fwhm_both[1],
+            kw["AP_EFWHM"] = (mad if np.isfinite(mad) else None,
                               "[pix] MAD standard deviation of fitted FWHM")
         kw["AP_BGMED"] = (self._bg_median,
                           "[ADU] Median source-masked background level")

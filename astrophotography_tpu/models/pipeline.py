@@ -237,9 +237,6 @@ def _detect_stars_fused(frames, bias, dark, flat, exp_ratios,
     from ..ops.pallas_detect import (_BIN, _TTX, _TTY, master_densities,
                                      pallas_detect_tiles)
 
-    if config.centroid not in ("com", "kernel"):
-        raise ValueError(f"PipelineConfig.centroid must be 'com' or "
-                         f"'kernel', got {config.centroid!r}")
     n, h, w = frames.shape
     # combined calibration planes (cal = raw * A - B - r * C)
     a_full, b_plane, c_plane, bias_t, dark_use, has_masters = \

@@ -389,7 +389,17 @@ def test_full_coverage_fast_path_matches():
     got = np.asarray(pallas_warp_combine(cal_d, mats_d, tile=(32, 128),
                                          interpret=True))
     inner = ref != 0.0
-    np.testing.assert_allclose(got[inner], ref[inner], rtol=1e-4, atol=0.5)
+    err = np.abs(got[inner] - ref[inner])
+    # this geometry (tw=128, span 12) takes the banded bf16-split MXU
+    # horizontal tap path, whose dropped lo@lo term is ~2^-18 relative
+    # — ~0.01 ADU on these few-thousand-ADU values (the VPU sibling
+    # test above sits at f32 reassociation noise, ~1e-3)
+    assert np.median(err / np.maximum(np.abs(ref[inner]), 1.0)) < 1e-5
+    # tolerate rare sigma-clip tie flips (that same 2^-18 difference
+    # can flip a sample sitting exactly on the clip threshold), nothing
+    # else
+    tol = 0.5 + 1e-4 * np.abs(ref[inner])
+    assert (err > tol).mean() < 1e-4, float(err.max())
     np.testing.assert_array_equal(got == 0.0, ref == 0.0)
 
 

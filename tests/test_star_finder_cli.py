@@ -155,6 +155,44 @@ def test_ap_measure_background_srclist(tmp_path):
     m_one = srclist_mask((h, w), truth["x"][:1], truth["y"][:1], 6.0)
     assert m_one.sum() < m_full.sum()
 
+    # srclist whose AP_FWHM is blank/undefined (zero stars fit writes a
+    # blank card — FITS headers cannot encode the NaN median) falls
+    # back to the 6 px default radius instead of crashing
+    from astrophotography_tpu.io.fits import open_fits
+
+    hdus = open_fits(srclist)
+    hdus[0].header["AP_FWHM"] = None
+    nan_src = str(tmp_path / "src_nan.fits")
+    hdus.writeto(nan_src)
+    out_nan = str(tmp_path / "bg_nan.fits")
+    assert ap_measure_background([p, out_nan, "--srclist", nan_src,
+                                  "-l", "ERROR"]) == 0
+    bg_nan, _ = read_image(out_nan)
+    assert np.median(np.abs(bg_nan - sky)) < 3.0
+
+
+def test_ap_find_stars_zero_detections(tmp_path):
+    """A starless image must produce an empty source list (blank
+    AP_FWHM card — FITS cannot encode the NaN median) and a quality
+    report, not crash on zero-size reductions; --srclist consumes the
+    empty list with the 6 px fallback radius."""
+    rng = np.random.default_rng(3)
+    img = (100.0 + rng.normal(0, 3.0, (128, 128))).astype(np.float32)
+    p = str(tmp_path / "blank.fits")
+    write_image(p, img, Header([("EXPTIME", 10.0)]))
+    src = str(tmp_path / "src.fits")
+    qual = str(tmp_path / "qual.yml")
+    assert ap_find_stars([p, src, "--quality_report", qual,
+                          "-l", "ERROR"]) == 0
+    hdus = open_fits(src)
+    assert hdus[0].header.get("AP_FWHM") is None
+    assert len(hdus["AP_XYPOS"]["X"]) == 0
+    out = str(tmp_path / "bg.fits")
+    assert ap_measure_background([p, out, "--srclist", src,
+                                  "-l", "ERROR"]) == 0
+    bg, _ = read_image(out)
+    assert abs(np.median(bg) - 100.0) < 1.0
+
 
 def test_ap_quality_summary_cli(tmp_path):
     reports = [

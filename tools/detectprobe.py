@@ -12,7 +12,6 @@ os.environ.setdefault(
                  ".jax_cache"))
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "5")
 
-import os
 import sys
 import time
 

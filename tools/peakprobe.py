@@ -103,17 +103,11 @@ def main():
     print(f"HBM u16 stream read: {t * 1000:.1f} ms = "
           f"{nbytes / t / 1e9:.0f} GB/s", flush=True)
 
-    # HBM copy: f32 read + write
+    # HBM f32 streaming read (+reduce); a plain copy is not measurable
+    # here because block_until_ready does not sync through the tunnel,
+    # so the sum forces completion and the metric is read-side only
     big32 = x  # 256 MB
 
-    @jax.jit
-    def copy(a):
-        out = a * jnp.float32(1.0000001)
-        return out
-
-    out = copy(big32)
-    t = timeit(lambda: copy(big32).block_until_ready())
-    # block_until_ready may not sync through the tunnel; add a sum sync
     @jax.jit
     def copy_sum(a):
         return jnp.sum(a * jnp.float32(1.0000001)) + a[0, 0]

@@ -5,7 +5,7 @@ separately (fused detection, fused warp+combine kernel, full lean
 pipeline) so PERFORMANCE.md's stage budget stays reproducible.
 
 Usage: python tools/stagebench.py [--frames N] [--size S]
-       [--stage detect|kernel|full|all]
+       [--stage detect|kernel|register|floor|full|all]
 
 Timings are min-of-3 with a device-reduction sync (block_until_ready
 does not synchronize through the axon tunnel).
@@ -20,7 +20,6 @@ os.environ.setdefault(
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "5")
 
 import argparse
-import os
 import sys
 import time
 
