@@ -138,8 +138,13 @@ class RawConv:
 
     def grey(self, luminance_method: str = "linear", subtract_black: bool = True,
              wb_method: str = "auto", print_stats: bool = False,
-             renorm: bool = False, demosaic: str = "mhc") -> Tuple[np.ndarray, Dict]:
-        """(H, W) uint16 luminance (reference core/RawConv.py:488-587)."""
+             renorm: bool = False, demosaic: str = "mhc",
+             fetch: bool = True) -> Tuple[np.ndarray, Dict]:
+        """(H, W) uint16 luminance (reference core/RawConv.py:488-587).
+
+        ``fetch=False`` returns the uint16 image still on device (a jax
+        array) so pipelined callers can overlap the device->host pull
+        with the next frame's upload; requires ``print_stats=False``."""
         wb = self._wb_array(wb_method)
         if luminance_method == "direct":
             img = dk.raw_to_grey_direct(self._mosaic, self._color_map,
@@ -156,7 +161,8 @@ class RawConv:
                    "allowed: ['linear', 'direct']")
             logger.error(msg)
             raise RuntimeError(msg)
-        return self._finalize(img, renorm, print_stats), self._raw.exif
+        return (self._finalize(img, renorm, print_stats, fetch=fetch),
+                self._raw.exif)
 
     def split(self, subtract_black: bool = True) -> Tuple[
             np.ndarray, np.ndarray, np.ndarray, np.ndarray, Dict]:
@@ -169,13 +175,21 @@ class RawConv:
 
     # -- internals --------------------------------------------------------
     def _finalize(self, img: jnp.ndarray, renorm: bool,
-                  print_stats: bool) -> np.ndarray:
+                  print_stats: bool, fetch: bool = True):
         if renorm:
             img = dk.percentile_renorm(img)
+        if not print_stats:
+            # clip+cast on DEVICE: the device->host transfer is u16
+            # instead of f32 (half the bytes — it dominates end-to-end
+            # RAW conversion through the remote tunnel) and the host
+            # skips a full-frame clip/cast pass.  ``fetch=False``
+            # returns the device array so a writer thread can pull it
+            # down while the caller uploads the next frame
+            dev = jnp.clip(img, 0, self.MAX_ADU).astype(jnp.uint16)
+            return np.asarray(dev) if fetch else dev
         out = np.asarray(img)
-        if print_stats:
-            logger.info(
-                f"Image statistics: min={out.min():.1f} max={out.max():.1f} "
-                f"mean={out.mean():.2f}+/-{out.std():.2f} "
-                f"median={np.median(out):.1f} ADU")
+        logger.info(
+            f"Image statistics: min={out.min():.1f} max={out.max():.1f} "
+            f"mean={out.mean():.2f}+/-{out.std():.2f} "
+            f"median={np.median(out):.1f} ADU")
         return np.clip(out, 0, self.MAX_ADU).astype(np.uint16)

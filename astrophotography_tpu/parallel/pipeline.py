@@ -133,14 +133,18 @@ class AsyncWriter:
                 return
             path, data, header = item
             try:
-                write_image(path, data, header)
+                write_image(path, np.asarray(data), header)
             except BaseException as exc:  # surfaced on close()
                 logger.error(f"async write of {path} failed: {exc}")
                 self._errors.append(exc)
 
     def submit(self, path: str, data: np.ndarray,
                header: Optional[Header] = None) -> None:
-        self._q.put((path, np.asarray(data), header))
+        # data may be a still-on-device jax array: the worker's
+        # np.asarray performs the device->host pull, so the pull
+        # overlaps the caller's next upload/dispatch instead of
+        # serializing with it
+        self._q.put((path, data, header))
 
     def close(self) -> None:
         self._q.put(None)

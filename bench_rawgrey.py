@@ -89,7 +89,12 @@ def run(n_frames: int, size: int, repeats: int,
                 break
             p, raw = item
             conv = RawConv(p, raw_image=raw)
-            img, _exif = conv.grey(wb_method="daylight", renorm=False)
+            # fetch=False: the u16 result stays on device; the writer
+            # thread's np.asarray pulls it down while this loop uploads
+            # and dispatches the NEXT frame (the tunnel transfers are
+            # the bottleneck; up and down overlap)
+            img, _exif = conv.grey(wb_method="daylight", renorm=False,
+                                   fetch=False)
             writer.submit(p[:-4] + ".fits", img, Header())
         t.join()
         writer.close()

@@ -58,6 +58,14 @@ def test_rawconv_grey_and_rgb(dng_file):
     assert direct.shape == (32, 48)
     with pytest.raises(RuntimeError):
         conv.grey(luminance_method="bogus")
+    # fetch=False leaves the identical uint16 image on device (the
+    # pipelined-writer path: the worker thread pulls it down)
+    dev, _ = conv.grey(wb_method="camera", fetch=False)
+    assert not isinstance(dev, np.ndarray)
+    np.testing.assert_array_equal(np.asarray(dev), grey)
+    # print_stats forces the host path and must agree too
+    stats, _ = conv.grey(wb_method="camera", print_stats=True)
+    np.testing.assert_array_equal(stats, grey)
 
 
 def test_rawconv_split_matches_mosaic(dng_file):
