@@ -170,7 +170,9 @@ class RawConv:
         (reference core/RawConv.py:589-618)."""
         chans = dk.split_channels(self._mosaic, self._color_map,
                                   self._black_levels, subtract_black)
-        arrs = np.clip(np.asarray(chans), 0, self.MAX_ADU).astype(np.uint16)
+        # clip+cast on device: u16 down-transfer (half the f32 bytes)
+        arrs = np.asarray(jnp.clip(chans, 0, self.MAX_ADU)
+                          .astype(jnp.uint16))
         return arrs[0], arrs[1], arrs[2], arrs[3], self._raw.exif
 
     # -- internals --------------------------------------------------------
