@@ -316,7 +316,15 @@ def _make_kernel(n, th, tw, span, h_in, w_in, vb, hb, bh, bw, oy, ox,
             # polynomial evaluations + divides to 2*span scalar FMAs
             a_u = j.astype(jnp.float32) * tw + g0 \
                 - ubase.astype(jnp.float32)
-            ws = [_l3(a_u - s) for s in range(span)]
+            # the floor(min)-3 base anchoring puts a_u/a_v in [3, 4)
+            # EXACTLY for snapped (pure-translation) matrices, and
+            # Lanczos3 support is |x| < 3 — so taps 0 and >= 7 always
+            # carry exactly zero weight on this path.  Restricting the
+            # loops statically drops 2 of 8 slides/FMA-planes per pass
+            # at the bench span (6 of 12 at the default span)
+            t_lo, t_hi = (1, min(span, 7)) if span >= 7 else (0, span)
+            taps = list(range(t_lo, t_hi))
+            ws = [_l3(a_u - s) for s in taps]
             wsum = functools.reduce(lambda x, y: x + y, ws)
             inv = jnp.where(jnp.abs(wsum) > 1e-3, 1.0 / wsum, 0.0)
             if tw % 128 == 0 and twp == tw + 128 and span <= 128:
@@ -335,8 +343,8 @@ def _make_kernel(n, th, tw, span, h_in, w_in, vb, hb, bh, bw, oy, ox,
                 jj = jax.lax.broadcasted_iota(jnp.int32, (256, 128), 0)
                 cc2 = jax.lax.broadcasted_iota(jnp.int32, (256, 128), 1)
                 bmat = jnp.zeros((256, 128), jnp.float32)
-                for s in range(span):
-                    bmat = bmat + jnp.where(jj == cc2 + s, ws[s] * inv,
+                for k, s in enumerate(taps):
+                    bmat = bmat + jnp.where(jj == cc2 + s, ws[k] * inv,
                                             0.0)
                 b_hi = bmat.astype(jnp.bfloat16)
                 b_lo = (bmat - b_hi.astype(jnp.float32)) \
@@ -359,12 +367,12 @@ def _make_kernel(n, th, tw, span, h_in, w_in, vb, hb, bh, bw, oy, ox,
                                   preferred_element_type=jnp.float32))
                 mid = jnp.concatenate(tiles, axis=1)
             else:
-                mid = (ws[0] * inv) * alig[0:thp, 0:tw]
-                for s in range(1, span):
-                    mid = mid + (ws[s] * inv) * alig[:, s:s + tw]
+                mid = (ws[0] * inv) * alig[0:thp, taps[0]:taps[0] + tw]
+                for k, s in list(enumerate(taps))[1:]:
+                    mid = mid + (ws[k] * inv) * alig[:, s:s + tw]
             a_v = i.astype(jnp.float32) * th + m12 \
                 - vbase.astype(jnp.float32)
-            ws2 = [_l3(a_v - s) for s in range(span)]
+            ws2 = [_l3(a_v - s) for s in taps]
             wsum2 = functools.reduce(lambda x, y: x + y, ws2)
             inv2 = jnp.where(jnp.abs(wsum2) > 1e-3, 1.0 / wsum2, 0.0)
             # vertical pass stays on the VPU: its tap slices shift
@@ -372,9 +380,9 @@ def _make_kernel(n, th, tw, span, h_in, w_in, vb, hb, bh, bw, oy, ox,
             # SLOWER at 100x4096^2 (contraction dim 72 underfills the
             # systolic array and the extra hi/lo splits of mid cost
             # more than the slides)
-            warped = (ws2[0] * inv2) * mid[0:th, :]
-            for s in range(1, span):
-                warped = warped + (ws2[s] * inv2) * mid[s:s + th, :]
+            warped = (ws2[0] * inv2) * mid[taps[0]:taps[0] + th, :]
+            for k, s in list(enumerate(taps))[1:]:
+                warped = warped + (ws2[k] * inv2) * mid[s:s + th, :]
             rows_ref[f] = jnp.where(cover, warped, big)
 
         @pl.when(jnp.logical_not(is_trans))
