@@ -374,3 +374,59 @@ def test_astrometry_timeout_monitors_same_submission(tmp_path):
     ast2 = Astrometry(transport=timeout_always)
     assert ast2.solve(img_path, src_path,
                       str(tmp_path / "wcs2.fits")) is None
+
+
+def test_ap_astrometry_ref_local_solve(tmp_path):
+    """`ap_astrometry --ref` performs the network-free registration
+    solve: the target output carries a WCS consistent with the anchor's
+    (same star, same sky position), with ra/dec columns added to the
+    target source list — no API key involved."""
+    import os
+
+    from astrophotography_tpu import synth
+    from astrophotography_tpu.cli.ap_astrometry import main as ap_astrometry
+    from astrophotography_tpu.cli.ap_find_stars import main as ap_find_stars
+    from astrophotography_tpu.io.fits import open_fits, write_image
+
+    truth = _example_wcs()
+    h, w = 192, 256
+    anchor_img, stars = synth.make_starfield(
+        (h, w), n_stars=12, fwhm=3.0, background=120.0, seed=5,
+        min_sep=26.0)
+    dx, dy = 3, -2  # integer dither: the target is a rolled copy
+    target_img = np.roll(np.roll(np.asarray(anchor_img), dy, axis=0),
+                         dx, axis=1)
+
+    anchor_hdr = Header([("EXPTIME", 30.0)])
+    truth.to_header(anchor_hdr)
+    anchor = str(tmp_path / "anchor.fits")
+    write_image(anchor, np.asarray(anchor_img, np.float32), anchor_hdr)
+    target = str(tmp_path / "target.fits")
+    write_image(target, np.asarray(target_img, np.float32),
+                Header([("EXPTIME", 30.0)]))
+
+    a_src = str(tmp_path / "a_src.fits")
+    t_src = str(tmp_path / "t_src.fits")
+    assert ap_find_stars([anchor, a_src, "-l", "ERROR"]) == 0
+    assert ap_find_stars([target, t_src, "-l", "ERROR"]) == 0
+
+    out = str(tmp_path / "nav.fits")
+    assert ap_astrometry([target, t_src, out, "--ref", anchor,
+                          "--ref_srclist", a_src, "-l", "ERROR"]) == 0
+    assert os.path.exists(out)
+    got = open_fits(out)[0].header
+    assert got["ASTRSOLV"] is True
+
+    from astrophotography_tpu.wcs.wcs import TanWCS
+
+    tgt_wcs = TanWCS.from_header(got)
+    # a star at (x, y) in the anchor appears at (x+dx, y+dy) in the
+    # target; both WCS must map the SAME physical star to the same sky
+    ax, ay = stars["x"][:6] + 1.0, stars["y"][:6] + 1.0  # FITS 1-based
+    ra_a, dec_a = truth.pix2world(ax, ay)
+    ra_t, dec_t = tgt_wcs.pix2world(ax + dx, ay + dy)
+    np.testing.assert_allclose(ra_t, ra_a, atol=2e-5)    # < 0.1 arcsec
+    np.testing.assert_allclose(dec_t, dec_a, atol=2e-5)
+    # ra/dec columns landed in the target source list
+    xy = open_fits(t_src)["AP_XYPOS"]
+    assert "ra" in xy.columns and "dec" in xy.columns
