@@ -65,12 +65,19 @@ def _solve_local(ns: argparse.Namespace) -> None:
 
     ref_wcs = TanWCS.from_header(open_fits(ns.ref)[0].header)
     ref_src = ns.ref_srclist
+    tmp_src = None
     if ref_src is None:
         from ..core.star_finder import StarFinder
 
-        ref_src = tempfile.mktemp(suffix=".fits", prefix="refsrc_")
+        fd, tmp_src = tempfile.mkstemp(suffix=".fits", prefix="refsrc_")
+        os.close(fd)
+        ref_src = tmp_src
         StarFinder(ns.ref).write_source_list(ref_src)
-    rx, ry, rf, rv = _read_srclist_stars(ref_src)
+    try:
+        rx, ry, rf, rv = _read_srclist_stars(ref_src)
+    finally:
+        if tmp_src is not None:
+            os.unlink(tmp_src)
     tx, ty, tf, tv = _read_srclist_stars(ns.srclist)
     sim = estimate_similarity(
         jnp.asarray(rx), jnp.asarray(ry), jnp.asarray(rf), jnp.asarray(rv),

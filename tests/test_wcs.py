@@ -381,7 +381,9 @@ def test_ap_astrometry_ref_local_solve(tmp_path):
     solve: the target output carries a WCS consistent with the anchor's
     (same star, same sky position), with ra/dec columns added to the
     target source list — no API key involved."""
+    import glob
     import os
+    import tempfile
 
     from astrophotography_tpu import synth
     from astrophotography_tpu.cli.ap_astrometry import main as ap_astrometry
@@ -430,3 +432,15 @@ def test_ap_astrometry_ref_local_solve(tmp_path):
     # ra/dec columns landed in the target source list
     xy = open_fits(t_src)["AP_XYPOS"]
     assert "ra" in xy.columns and "dec" in xy.columns
+
+    # without --ref_srclist the anchor's sources are detected on the
+    # fly (temporary source list, cleaned up afterwards)
+    out2 = str(tmp_path / "nav2.fits")
+    assert ap_astrometry([target, t_src, out2, "--ref", anchor,
+                          "-l", "ERROR"]) == 0
+    got2 = TanWCS.from_header(open_fits(out2)[0].header)
+    ra_t2, dec_t2 = got2.pix2world(ax + dx, ay + dy)
+    np.testing.assert_allclose(ra_t2, ra_a, atol=2e-5)
+    np.testing.assert_allclose(dec_t2, dec_a, atol=2e-5)
+    assert not glob.glob(os.path.join(tempfile.gettempdir(),
+                                      "refsrc_*.fits"))
