@@ -54,6 +54,12 @@ def parse(argv: Optional[List[str]]) -> argparse.Namespace:
                    help="output grid: 'first' = the reference frame's "
                         "pixel grid; 'union' = a canvas covering every "
                         "registered frame (the swarp mosaic behavior)")
+    p.add_argument("--weight_out", default=None, metavar="PATH",
+                   help="also write the swarp-style coadd weight map "
+                        "(sum over contributing frames of their "
+                        "resample-footprint coverage, scaled by "
+                        "1/fscale^2 when FSCALE applies — the WEIGHTOUT "
+                        "image of reference resample_all.sh:342)")
     add_loglevel(p)
     return p.parse_args(argv)
 
@@ -137,10 +143,52 @@ def _stack_union_canvas(stack, scales, cfg):
             "ty": sims.ty, "n_inliers": sims.n_inliers, "rms": sims.rms,
             "n_stars": jnp.sum(stars.valid, axis=1),
             "ref_frame": ref_idx,
-            "canvas_origin": (y0, x0)}
+            "canvas_origin": (y0, x0),
+            "matrices": mats_c}
     logger.info(f"Union canvas {hc}x{wc} px, origin ({y0}, {x0}) in the "
                 f"reference frame's grid")
     return stacked, diag
+
+
+def _coverage_weight_map(mats, in_shape, out_shape, scales):
+    """swarp-style coadd weight map on the output grid.
+
+    Per output pixel: sum over frames of (frame weight) x (1 if the
+    frame's full Lanczos3 tap footprint is inside the source at that
+    pixel's mapped coordinate, matching ops/warp analytic coverage).
+    Frame weight is 1, or 1/fscale^2 when FSCALE exposure scaling is
+    active (swarp propagates input weights as inverse variance, so a
+    frame multiplied by fscale carries fscale^-2 weight;
+    resample_all.sh:300-342).  Registration-rejected frames carry the
+    REJECTED_TRANSLATION sentinel in their matrix, which maps them
+    fully out of coverage — they contribute zero weight, matching
+    their exclusion from the combine."""
+    import jax
+    import jax.numpy as jnp
+
+    h_in, w_in = (float(v) for v in in_shape)
+    hh, ww = out_shape
+
+    @functools.partial(jax.jit, static_argnames=("hh", "ww"))
+    def cov_sum(mats, fw, hh, ww):
+        ys = jnp.arange(hh, dtype=jnp.float32)[:, None]
+        xs = jnp.arange(ww, dtype=jnp.float32)[None, :]
+
+        def one(m, wgt):
+            sx = m[0, 0] * xs + m[0, 1] * ys + m[0, 2]
+            sy = m[1, 0] * xs + m[1, 1] * ys + m[1, 2]
+            cov = ((sx >= 2.0) & (sx <= w_in - 4.0)
+                   & (sy >= 2.0) & (sy <= h_in - 4.0))
+            return cov.astype(jnp.float32) * wgt
+
+        return jnp.sum(jax.vmap(one)(mats, fw), axis=0)
+
+    n = mats.shape[0]
+    if scales is None:
+        fw = jnp.ones((n,), jnp.float32)
+    else:
+        fw = 1.0 / jnp.square(jnp.asarray(scales, jnp.float32))
+    return np.asarray(cov_sum(jnp.asarray(mats, jnp.float32), fw, hh, ww))
 
 
 def run(ns: argparse.Namespace) -> None:
@@ -226,6 +274,17 @@ def run(ns: argparse.Namespace) -> None:
         f"ap_stack: {len(frames)} frames, combine={ns.combine}, "
         f"sigma={ns.sigma}, engine={ns.engine}, ref={ref_idx}")
     write_image(ns.output, stacked, out_hdr)
+    if ns.weight_out:
+        wmap = _coverage_weight_map(np.asarray(diag["matrices"]),
+                                    stack.shape[1:], stacked.shape, scales)
+        whdr = out_hdr.copy()
+        whdr["IMAGETYP"] = ("STACK WEIGHT", "Coadd weight map")
+        whdr.add_history(
+            f"ap_stack weight map for {os.path.basename(ns.output)} "
+            "(sum of frame coverage x 1/fscale^2)")
+        write_image(ns.weight_out, wmap, whdr)
+        logger.info(f"Wrote weight map {ns.weight_out} "
+                    f"(max {wmap.max():.3f})")
     rms = np.asarray(diag["rms"])
     others = np.delete(rms, ref_idx) if len(rms) > 1 else rms
     logger.info(f"Stacked {len(frames)} frames -> {ns.output} "

@@ -513,6 +513,7 @@ def calibrate_register_stack(
             "rms": sims.rms,
             "n_stars": jnp.sum(stars.valid, axis=1),
             "ref_frame": ref_idx,
+            "matrices": matrices,
         }
         return stacked, diagnostics
 
@@ -581,6 +582,7 @@ def calibrate_register_stack(
         "rms": sims.rms,
         "n_stars": jnp.sum(stars.valid, axis=1),
         "ref_frame": ref_idx,
+        "matrices": matrices,
     }
     return stacked, diagnostics
 

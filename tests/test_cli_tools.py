@@ -243,7 +243,9 @@ def test_ap_stack_cli(tmp_path):
         write_image(p, fr, hdr)
         paths.append(p)
     out = str(tmp_path / "stack.fits")
-    rc = ap_stack(paths + ["-o", out, "--engine", "fused", "-l", "ERROR"])
+    wout = str(tmp_path / "stack.weight.fits")
+    rc = ap_stack(paths + ["-o", out, "--engine", "fused", "-l", "ERROR",
+                           "--weight_out", wout])
     assert rc == 0
     s, hdr = read_image(out)
     assert hdr["IMAGETYP"] == "STACK"
@@ -252,6 +254,18 @@ def test_ap_stack_cli(tmp_path):
     # FSCALE normalized the double-exposure frame: background stays ~120
     inner = s[30:-30, 30:-30]
     assert abs(np.median(inner) - 120.0) < 6.0
+    # swarp-style weight map (WEIGHTOUT role): interior = sum of frame
+    # weights, where the fscale=0.5 double-exposure frame carries
+    # 1/fscale^2 = 4 (inverse variance); borders outside every frame's
+    # tap footprint carry zero
+    wmap, whdr = read_image(wout)
+    assert whdr["IMAGETYP"] == "STACK WEIGHT"
+    assert wmap.shape == s.shape
+    assert np.isclose(wmap[64, 64], 1.0 + 1.0 + 4.0 + 1.0)
+    # the reference frame's own tap footprint excludes its first two
+    # columns/rows, so the corner can never reach the interior's total
+    # (dithered-inward frames may still legitimately cover it)
+    assert wmap[0, 0] < wmap[64, 64]
 
 
 @pytest.mark.slow
@@ -279,7 +293,9 @@ def test_ap_stack_union_canvas(tmp_path):
         write_image(p, fr, hdr)
         paths.append(p)
     out = str(tmp_path / "mosaic.fits")
-    rc = ap_stack(paths + ["-o", out, "--canvas", "union", "-l", "ERROR"])
+    wout = str(tmp_path / "mosaic.weight.fits")
+    rc = ap_stack(paths + ["-o", out, "--canvas", "union", "-l", "ERROR",
+                           "--weight_out", wout])
     assert rc == 0
     s, hdr = read_image(out)
     # canvas spans the union: at least frame + 75 px in x, + 35 in y
@@ -299,3 +315,10 @@ def test_ap_stack_union_canvas(tmp_path):
     matched = sum(1 for x, y in zip(truth["x"], truth["y"])
                   if np.hypot(dx_ - (x - x0), dy_ - (y - y0)).min() < 1.0)
     assert matched >= len(truth["x"]) - 1
+    # weight map on the union canvas: 3 in the triple overlap, 0 where
+    # no frame's footprint reaches, and > 0 wherever data landed
+    wmap, _ = read_image(wout)
+    assert wmap.shape == s.shape
+    assert np.isclose(wmap.max(), 3.0) and (wmap == 3.0).sum() > 100
+    assert np.all(wmap[s != 0.0] > 0.0)
+    assert (wmap == 0.0).any()
