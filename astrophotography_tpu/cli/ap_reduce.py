@@ -33,6 +33,9 @@ def parse(argv: Optional[List[str]]) -> argparse.Namespace:
                         "(default: noclean/skip-existing)")
     p.add_argument("--no-quality", action="store_true",
                    help="skip star finding / quality reports")
+    p.add_argument("--no-weights", action="store_true",
+                   help="do not write the swarp-style .weight.fits coadd "
+                        "weight map next to each stack")
     p.add_argument("--no-stack", action="store_true",
                    help="skip registration + stacking")
     p.add_argument("--astrometry", action="store_true",
@@ -101,6 +104,7 @@ def run(ns: argparse.Namespace) -> None:
         noclean=not ns.clean,
         quality=not ns.no_quality,
         stack=not ns.no_stack,
+        stack_weights=not ns.no_weights,
         astrometry=ns.astrometry or bool(ns.key),
         astrometry_transport=transport,
         astrometry_timeout=ns.astrometry_timeout)

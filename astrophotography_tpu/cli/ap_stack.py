@@ -151,44 +151,20 @@ def _stack_union_canvas(stack, scales, cfg):
 
 
 def _coverage_weight_map(mats, in_shape, out_shape, scales):
-    """swarp-style coadd weight map on the output grid.
-
-    Per output pixel: sum over frames of (frame weight) x (1 if the
-    frame's full Lanczos3 tap footprint is inside the source at that
-    pixel's mapped coordinate, matching ops/warp analytic coverage).
-    Frame weight is 1, or 1/fscale^2 when FSCALE exposure scaling is
-    active (swarp propagates input weights as inverse variance, so a
-    frame multiplied by fscale carries fscale^-2 weight;
-    resample_all.sh:300-342).  Registration-rejected frames carry the
-    REJECTED_TRANSLATION sentinel in their matrix, which maps them
-    fully out of coverage — they contribute zero weight, matching
-    their exclusion from the combine."""
-    import jax
+    """swarp WEIGHTOUT map via ops.warp.coverage_weight_map with
+    per-frame weights 1 (no FSCALE) or 1/fscale^2."""
     import jax.numpy as jnp
 
-    h_in, w_in = (float(v) for v in in_shape)
-    hh, ww = out_shape
-
-    @functools.partial(jax.jit, static_argnames=("hh", "ww"))
-    def cov_sum(mats, fw, hh, ww):
-        ys = jnp.arange(hh, dtype=jnp.float32)[:, None]
-        xs = jnp.arange(ww, dtype=jnp.float32)[None, :]
-
-        def one(m, wgt):
-            sx = m[0, 0] * xs + m[0, 1] * ys + m[0, 2]
-            sy = m[1, 0] * xs + m[1, 1] * ys + m[1, 2]
-            cov = ((sx >= 2.0) & (sx <= w_in - 4.0)
-                   & (sy >= 2.0) & (sy <= h_in - 4.0))
-            return cov.astype(jnp.float32) * wgt
-
-        return jnp.sum(jax.vmap(one)(mats, fw), axis=0)
+    from ..ops.warp import coverage_weight_map
 
     n = mats.shape[0]
     if scales is None:
         fw = jnp.ones((n,), jnp.float32)
     else:
         fw = 1.0 / jnp.square(jnp.asarray(scales, jnp.float32))
-    return np.asarray(cov_sum(jnp.asarray(mats, jnp.float32), fw, hh, ww))
+    return np.asarray(coverage_weight_map(
+        jnp.asarray(mats, jnp.float32), tuple(int(v) for v in in_shape),
+        tuple(int(v) for v in out_shape), fw))
 
 
 def run(ns: argparse.Namespace) -> None:

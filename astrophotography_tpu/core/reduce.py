@@ -151,6 +151,10 @@ class ReduceConfig:
     noclean: bool = True          # skip outputs that already exist
     quality: bool = True
     stack: bool = True
+    #: write a swarp-style coadd weight map next to each stack (the
+    #: WEIGHTOUT image swarp always produces, resample_all.sh:342):
+    #: per-pixel sum of frame coverage x 1/fscale^2
+    stack_weights: bool = True
     #: per-image astrometric WCS stage (the navigate_all.sh stage the
     #: reference runs between calibration and stacking,
     #: navigate_all.sh:5-20): writes a WCS-stamped nav-*.fits per
@@ -357,7 +361,8 @@ def reduce_all(
     timer = StageTimer()
     os.makedirs(outdir, exist_ok=True)
     produced: Dict[str, List[str]] = {"calibrated": [], "quality": [],
-                                      "navigated": [], "stacks": []}
+                                      "navigated": [], "stacks": [],
+                                      "weights": []}
     lights = scan_lights(datadir)
     if not lights:
         raise RuntimeError(f"no light frames found under {datadir}")
@@ -490,6 +495,27 @@ def reduce_all(
                     f"({config.stack_combine}, sigma {config.stack_sigma}) "
                     f"in {dt:.2f} s on device")
                 write_image(stack_path, stacked, out_hdr)
+                if config.stack_weights:
+                    # swarp WEIGHTOUT parity (resample_all.sh:342):
+                    # coadd weight = sum of frame coverage x 1/fscale^2
+                    from ..ops.warp import coverage_weight_map
+
+                    wpath = (stack_path[:-5] + ".weight.fits"
+                             if stack_path.endswith(".fits")
+                             else stack_path + ".weight")
+                    fw = 1.0 / np.square(scales)
+                    wmap = np.asarray(coverage_weight_map(
+                        jnp.asarray(np.asarray(diag["matrices"]),
+                                    jnp.float32),
+                        stack.shape[1:], stacked.shape,
+                        jnp.asarray(fw, jnp.float32)))
+                    whdr = out_hdr.copy()
+                    whdr["IMAGETYP"] = ("STACK WEIGHT", "Coadd weight map")
+                    whdr.add_history(
+                        f"Weight map for {os.path.basename(stack_path)} "
+                        "(sum of frame coverage x 1/fscale^2)")
+                    write_image(wpath, wmap, whdr)
+                    produced["weights"].append(wpath)
                 rms = np.asarray(diag["rms"])
                 ref_i = int(diag.get("ref_frame", 0))
                 rms_others = np.delete(rms, ref_i) if len(rms) > 1 else rms

@@ -343,3 +343,40 @@ def warp_affine_bilinear(
         wacc = wacc + wgt * inb
     out = jnp.where(wacc > 0, acc / jnp.maximum(wacc, 1e-9), 0.0)
     return out, jnp.clip(wacc, 0.0, 1.0)
+
+
+@functools.partial(jax.jit, static_argnames=("in_shape", "out_shape"))
+def coverage_weight_map(
+    matrices: jnp.ndarray,
+    in_shape: Tuple[int, int],
+    out_shape: Tuple[int, int],
+    frame_weights: jnp.ndarray,
+) -> jnp.ndarray:
+    """swarp-style coadd weight map on the output grid.
+
+    Per output pixel: sum over frames of ``frame_weights[i]`` times the
+    analytic tap-footprint coverage of frame i (1 iff the full Lanczos3
+    footprint of the mapped source coordinate stays inside the
+    ``in_shape`` frame — the same criterion warp_affine_separable's
+    analytic coverage applies).  This is the WEIGHTOUT image the
+    reference's swarp invocation produces (resample_all.sh:342); with
+    FSCALE exposure scaling the per-frame weight is 1/fscale^2 (swarp
+    propagates input weights as inverse variance).  Frames rejected by
+    registration carry the REJECTED_TRANSLATION sentinel in their
+    matrix and fall out of coverage naturally.
+    """
+    h_in, w_in = (float(v) for v in in_shape)
+    hh, ww = out_shape
+    ys = jnp.arange(hh, dtype=jnp.float32)[:, None]
+    xs = jnp.arange(ww, dtype=jnp.float32)[None, :]
+
+    def one(m, wgt):
+        sx = m[0, 0] * xs + m[0, 1] * ys + m[0, 2]
+        sy = m[1, 0] * xs + m[1, 1] * ys + m[1, 2]
+        cov = ((sx >= 2.0) & (sx <= w_in - 4.0)
+               & (sy >= 2.0) & (sy <= h_in - 4.0))
+        return cov.astype(jnp.float32) * wgt
+
+    return jnp.sum(
+        jax.vmap(one)(matrices.astype(jnp.float32),
+                      frame_weights.astype(jnp.float32)), axis=0)
