@@ -34,7 +34,7 @@ def parse(argv: Optional[List[str]]) -> argparse.Namespace:
     p.add_argument("--no-quality", action="store_true",
                    help="skip star finding / quality reports")
     p.add_argument("--no-weights", action="store_true",
-                   help="do not write the swarp-style .weight.fits coadd "
+                   help="do not write the swarp-style weight-*.fits coadd "
                         "weight map next to each stack")
     p.add_argument("--no-stack", action="store_true",
                    help="skip registration + stacking")

@@ -150,21 +150,24 @@ def _stack_union_canvas(stack, scales, cfg):
     return stacked, diag
 
 
-def _coverage_weight_map(mats, in_shape, out_shape, scales):
+def _coverage_weight_map(mats, in_shape, out_shape, scales, usable=None):
     """swarp WEIGHTOUT map via ops.warp.coverage_weight_map with
-    per-frame weights 1 (no FSCALE) or 1/fscale^2."""
+    per-frame weights 1 (no FSCALE) or 1/fscale^2; ``usable`` zeroes
+    frames that failed registration so the map reflects usable depth."""
     import jax.numpy as jnp
 
     from ..ops.warp import coverage_weight_map
 
     n = mats.shape[0]
     if scales is None:
-        fw = jnp.ones((n,), jnp.float32)
+        fw = np.ones((n,), np.float32)
     else:
-        fw = 1.0 / jnp.square(jnp.asarray(scales, jnp.float32))
+        fw = 1.0 / np.square(np.asarray(scales, np.float32))
+    if usable is not None:
+        fw = fw * np.asarray(usable, np.float32)
     return np.asarray(coverage_weight_map(
         jnp.asarray(mats, jnp.float32), tuple(int(v) for v in in_shape),
-        tuple(int(v) for v in out_shape), fw))
+        tuple(int(v) for v in out_shape), jnp.asarray(fw, jnp.float32)))
 
 
 def run(ns: argparse.Namespace) -> None:
@@ -251,8 +254,15 @@ def run(ns: argparse.Namespace) -> None:
         f"sigma={ns.sigma}, engine={ns.engine}, ref={ref_idx}")
     write_image(ns.output, stacked, out_hdr)
     if ns.weight_out:
+        # frames with < 4 inliers (except the reference) registered
+        # unreliably and contribute little or nothing to the combine —
+        # zero their weight so the map reflects usable depth, matching
+        # the union-canvas path's rejection behavior
+        usable = inl >= 4
+        usable[ref_idx] = True
         wmap = _coverage_weight_map(np.asarray(diag["matrices"]),
-                                    stack.shape[1:], stacked.shape, scales)
+                                    stack.shape[1:], stacked.shape, scales,
+                                    usable=usable)
         whdr = out_hdr.copy()
         whdr["IMAGETYP"] = ("STACK WEIGHT", "Coadd weight map")
         whdr.add_history(

@@ -427,8 +427,22 @@ def reduce_all(
             stack_name = (f"stack-{target}-{telescope}-{filt}.fits"
                           .replace(" ", "_"))
             stack_path = os.path.join(outdir, stack_name)
+            weight_name = "weight-" + stack_name[len("stack-"):]
+            weight_path = os.path.join(outdir, weight_name)
             if config.noclean and os.path.exists(stack_path):
                 logger.info(f"Skipping existing {stack_path}")
+                if config.stack_weights:
+                    # keep the run summary honest about pre-existing
+                    # weight maps; a stack produced before weight maps
+                    # existed (or with --no-weights) cannot be
+                    # backfilled without re-registering, so say so
+                    if os.path.exists(weight_path):
+                        produced["weights"].append(weight_path)
+                    else:
+                        logger.warning(
+                            f"{stack_path} has no weight map "
+                            f"({weight_name} missing); rerun with "
+                            "--clean to regenerate the stack with one")
             else:
                 # threaded prefetch: decode the stack members on host
                 # threads (parallel/pipeline.py)
@@ -497,13 +511,20 @@ def reduce_all(
                 write_image(stack_path, stacked, out_hdr)
                 if config.stack_weights:
                     # swarp WEIGHTOUT parity (resample_all.sh:342):
-                    # coadd weight = sum of frame coverage x 1/fscale^2
+                    # coadd weight = sum of frame coverage x 1/fscale^2.
+                    # Named weight-<group>.fits so stack-*.fits globs
+                    # never ingest weight maps as stacks.
                     from ..ops.warp import coverage_weight_map
 
-                    wpath = (stack_path[:-5] + ".weight.fits"
-                             if stack_path.endswith(".fits")
-                             else stack_path + ".weight")
                     fw = 1.0 / np.square(scales)
+                    # frames that failed registration (< 4 inliers)
+                    # contribute ~nothing to the combine; zero their
+                    # weight so the map reflects usable depth
+                    inl_w = np.asarray(diag["n_inliers"])
+                    ref_w = int(diag.get("ref_frame", 0))
+                    usable = (inl_w >= 4)
+                    usable[ref_w] = True
+                    fw = fw * usable.astype(np.float32)
                     wmap = np.asarray(coverage_weight_map(
                         jnp.asarray(np.asarray(diag["matrices"]),
                                     jnp.float32),
@@ -514,8 +535,8 @@ def reduce_all(
                     whdr.add_history(
                         f"Weight map for {os.path.basename(stack_path)} "
                         "(sum of frame coverage x 1/fscale^2)")
-                    write_image(wpath, wmap, whdr)
-                    produced["weights"].append(wpath)
+                    write_image(weight_path, wmap, whdr)
+                    produced["weights"].append(weight_path)
                 rms = np.asarray(diag["rms"])
                 ref_i = int(diag.get("ref_frame", 0))
                 rms_others = np.delete(rms, ref_i) if len(rms) > 1 else rms

@@ -364,6 +364,16 @@ def coverage_weight_map(
     propagates input weights as inverse variance).  Frames rejected by
     registration carry the REJECTED_TRANSLATION sentinel in their
     matrix and fall out of coverage naturally.
+
+    Exactness caveat: this map mirrors the analytic-coverage XLA
+    combine path under default budgets.  The fused Pallas combine can
+    additionally exclude a (frame, tile) pair when the dither spread
+    exceeds its window budget (``dither_budget``, default 64 px), and
+    interp='lanczos3'/'bilinear' XLA paths mask output pixels whose
+    fractional tap coverage is <= 0.5 near frame edges; in those
+    regimes the map can claim weight up to one tap footprint (~5 px)
+    past what that engine actually accumulated.  Callers stacking with
+    extreme dithers should treat edge weights as an upper bound.
     """
     h_in, w_in = (float(v) for v in in_shape)
     hh, ww = out_shape

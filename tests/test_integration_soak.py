@@ -70,8 +70,7 @@ def test_ap_reduce_multi_filter_soak(tmp_path):
     rc = ap_reduce([data, cal, out, "--fixcosmic", "--skybg",
                     "--stack_engine", "fused", "-l", "ERROR"])
     assert rc == 0
-    stacks = sorted(p for p in glob.glob(os.path.join(out, "stack-*.fits"))
-                    if not p.endswith(".weight.fits"))
+    stacks = sorted(glob.glob(os.path.join(out, "stack-*.fits")))
     cals = sorted(glob.glob(os.path.join(out, "cal-*.fits")))
     quals = sorted(glob.glob(os.path.join(out, "*qual*")))
     assert len(stacks) == 2 and len(cals) == 8 and len(quals) == 8
@@ -90,8 +89,10 @@ def test_ap_reduce_multi_filter_soak(tmp_path):
         # stars survived every stage
         assert inner.max() > np.median(inner) + 500.0, sp
         # swarp WEIGHTOUT parity: a coadd weight map rides next to each
-        # stack; equal exposures -> interior weight == stack depth
-        wp = sp[:-5] + ".weight.fits"
+        # stack (named weight-* so stack-* globs never ingest it);
+        # equal exposures -> interior weight == stack depth
+        wp = os.path.join(os.path.dirname(sp),
+                          "weight-" + os.path.basename(sp)[len("stack-"):])
         assert os.path.exists(wp), wp
         wmap, whdr = read_image(wp)
         assert whdr["IMAGETYP"] == "STACK WEIGHT"
@@ -180,8 +181,7 @@ def test_ap_reduce_navigate_stage_mock_transport(tmp_path):
         assert "ra" in xy.columns and "dec" in xy.columns
         assert np.all(np.isfinite(np.asarray(xy["ra"], float)))
     # CRVAL/CD/SIP survive into the stacked product
-    stack = [p for p in glob.glob(os.path.join(out, "stack-*.fits"))
-             if not p.endswith(".weight.fits")][0]
+    stack = glob.glob(os.path.join(out, "stack-*.fits"))[0]
     shdr = open_fits(stack)[0].header
     assert shdr["CRVAL1"] == 180.0 and shdr["CRVAL2"] == -10.0
     assert shdr["CD1_1"] == pytest.approx(truth_wcs.cd[0, 0], rel=1e-9)
@@ -223,7 +223,6 @@ def test_ap_reduce_navigate_local_anchor(tmp_path):
         assert abs(ra - ra0) * np.cos(np.radians(dec0)) * 3600 < 1.0
         assert abs(dec - dec0) * 3600 < 1.0
     # the stack (reference-frame grid) carries a WCS too
-    stack = [p for p in glob.glob(os.path.join(out, "stack-*.fits"))
-             if not p.endswith(".weight.fits")][0]
+    stack = glob.glob(os.path.join(out, "stack-*.fits"))[0]
     shdr = open_fits(stack)[0].header
     assert "CRVAL1" in shdr and "CD1_1" in shdr

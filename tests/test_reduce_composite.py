@@ -70,6 +70,15 @@ def test_ap_reduce_end_to_end(tmp_path):
     assert shdr["IMAGETYP"] == "STACK"
     assert shdr["NSTACK"] == 3
     assert shdr["EXPTOTAL"] == 180.0
+    # swarp WEIGHTOUT parity: a weight-* coadd weight map rides next to
+    # the stack (named so stack-* globs never ingest it), equal
+    # exposures -> interior weight == stack depth
+    weights = [f for f in cal_files if f.startswith("weight-")]
+    assert weights == ["weight-" + stacks[0][len("stack-"):]]
+    wmap, whdr = read_image(str(outdir / weights[0]))
+    assert whdr["IMAGETYP"] == "STACK WEIGHT"
+    assert wmap.shape == stack.shape
+    assert np.isclose(wmap[wmap.shape[0] // 2, wmap.shape[1] // 2], 3.0)
     # stars present at reference positions
     from astrophotography_tpu.ops import find_stars, sigma_clipped_stats
     _, med, std = (float(v) for v in sigma_clipped_stats(stack, sigma=3.0))
