@@ -514,13 +514,25 @@ class HDUList(list):
     def writeto(self, path: str, overwrite: bool = True) -> None:
         if not overwrite and os.path.exists(path):
             raise FileExistsError(path)
-        raw = self.tobytes()
-        if path.endswith(".gz") or path.endswith(".ftz"):
-            with gzip.open(path, "wb") as fh:
-                fh.write(raw)
-        else:
-            with open(path, "wb") as fh:
-                fh.write(raw)
+        raw = self.tobytes()  # serialize fully before touching the path
+        # atomic publish: write a same-directory temp file and rename
+        # over the target, so an interrupted write never leaves a
+        # partial (unreadable) FITS file at the destination
+        tmp = f"{path}.tmp{os.getpid()}"
+        try:
+            if path.endswith(".gz") or path.endswith(".ftz"):
+                with gzip.open(tmp, "wb") as fh:
+                    fh.write(raw)
+            else:
+                with open(tmp, "wb") as fh:
+                    fh.write(raw)
+            os.replace(tmp, path)
+        except BaseException:
+            try:
+                os.remove(tmp)
+            except OSError:
+                pass
+            raise
 
     def tobytes(self) -> bytes:
         """Serialize the HDU list to in-memory FITS bytes."""
@@ -559,11 +571,23 @@ class HDUList(list):
 # Reading
 # --------------------------------------------------------------------------
 
-def _read_exact(fh, n: int) -> bytes:
-    data = fh.read(n)
-    if len(data) < n:
-        raise EOFError("truncated FITS file")
-    return data
+def _read_exact(fh, n: int, _chunk: int = 1 << 26) -> bytes:
+    """Read exactly ``n`` bytes or raise EOFError.
+
+    Reads in bounded chunks so a corrupt header claiming a terabyte
+    payload (absurd NAXISn) fails with EOFError when the file runs out
+    instead of MemoryError trying to allocate the claimed size."""
+    if n < 0:
+        raise ValueError(f"negative FITS payload size {n}")
+    parts = []
+    got = 0
+    while got < n:
+        piece = fh.read(min(_chunk, n - got))
+        if not piece:
+            raise EOFError("truncated FITS file")
+        parts.append(piece)
+        got += len(piece)
+    return parts[0] if len(parts) == 1 else b"".join(parts)
 
 
 def open_fits(path: str) -> HDUList:
@@ -592,6 +616,12 @@ def _open_fits_stream(fh, name: str = "<stream>") -> HDUList:
             if block.strip(b"\0 ") == b"":
                 break
             raise EOFError("truncated FITS header")
+        if first and not (block.startswith(b"SIMPLE  ")
+                          or block.startswith(b"XTENSION")):
+            # a conforming file's first card is SIMPLE (or XTENSION for
+            # a bare extension stream); rejecting here keeps arbitrary
+            # binary garbage from being block-scanned for an END card
+            raise ValueError(f"{name!r} is not a FITS file")
         raw = bytearray(block)
         while b"END" not in _end_cards(bytes(raw)):
             raw += _read_exact(fh, BLOCK)
@@ -601,9 +631,23 @@ def _open_fits_stream(fh, name: str = "<stream>") -> HDUList:
         first = False
         xt = str(header.get("XTENSION", "")).strip().upper()
         naxis = int(header.get("NAXIS", 0))
-        shape = tuple(int(header[f"NAXIS{i}"]) for i in range(naxis, 0, -1))
+        if not 0 <= naxis <= 999:
+            raise ValueError(f"{name!r}: NAXIS {naxis} outside 0..999")
+        try:
+            shape = tuple(int(header[f"NAXIS{i}"])
+                          for i in range(naxis, 0, -1))
+        except KeyError as exc:
+            raise ValueError(
+                f"{name!r}: NAXIS={naxis} but card {exc.args[0]!r} "
+                "is missing") from None
+        if any(s < 0 for s in shape):
+            raise ValueError(f"{name!r}: negative axis length in {shape}")
         bitpix = int(header.get("BITPIX", 8))
+        if bitpix not in _BITPIX_DTYPE:
+            raise ValueError(f"{name!r}: unsupported BITPIX {bitpix}")
         pcount = int(header.get("PCOUNT", 0))
+        if pcount < 0:
+            raise ValueError(f"{name!r}: negative PCOUNT {pcount}")
         nbytes = int(abs(bitpix) // 8 * int(np.prod(shape, dtype=np.int64)) if shape else 0)
         nbytes += pcount * (abs(bitpix) // 8)
         payload = _read_exact(fh, nbytes) if nbytes else b""

@@ -47,7 +47,7 @@ def _load() -> ctypes.CDLL:
     lib.lljpeg_entropy_encode.restype = ctypes.c_long
     lib.lljpeg_decode.argtypes = [
         ctypes.POINTER(ctypes.c_uint8), ctypes.c_size_t,
-        ctypes.POINTER(ctypes.c_uint16), ctypes.c_int,
+        ctypes.POINTER(ctypes.c_uint16), ctypes.c_int64,
         ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
         ctypes.POINTER(ctypes.c_int)]
     _lib = lib
@@ -61,6 +61,11 @@ def decode_lossless_jpeg(payload: bytes, height: int, width: int) -> np.ndarray:
     IFD); the JPEG frame may pack multiple components per sample
     (jpeg_width * ncomp == width), which are re-interleaved along rows.
     """
+    if not 0 < height * width <= (1 << 31):
+        # a corrupt container IFD can claim absurd sensor geometry;
+        # refuse before allocating the claimed buffer
+        raise ValueError(
+            f"implausible sensor geometry {height}x{width}")
     lib = _load()
     buf = np.frombuffer(payload, dtype=np.uint8)
     out = np.zeros(height * width + 16, dtype=np.uint16)
@@ -72,7 +77,15 @@ def decode_lossless_jpeg(payload: bytes, height: int, width: int) -> np.ndarray:
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)), out.size,
         ctypes.byref(jw), ctypes.byref(jh), ctypes.byref(jc))
     if rc != 0:
-        raise ValueError(f"lossless JPEG decode failed (code {rc})")
+        detail = {-1: "no SOI marker", -2: "bad SOF fields",
+                  -3: "EOI before scan", -4: "incomplete headers",
+                  -5: "frame larger than expected geometry",
+                  -6: "missing/corrupt Huffman table",
+                  -7: "segment overruns payload",
+                  -8: "truncated scan data",
+                  -9: "invalid Huffman code in scan"}.get(rc, "")
+        raise ValueError(
+            f"lossless JPEG decode failed (code {rc}: {detail})")
     jwv, jhv, jcv = jw.value, jh.value, jc.value
     n = jhv * jwv * jcv
     data = out[:n].reshape(jhv, jwv * jcv)

@@ -262,9 +262,21 @@ def _collect_exif(tiff: _Tiff, ifds: List[Dict[int, Any]]) -> Dict[str, Any]:
 
 
 def load_dng(path: str) -> RawImage:
-    """Decode a DNG/TIFF CFA raw file."""
+    """Decode a DNG/TIFF CFA raw file.
+
+    A truncated or bit-damaged container surfaces as ValueError (the
+    struct/KeyError internals of the IFD walk never escape raw)."""
     with open(path, "rb") as fh:
         data = fh.read()
+    try:
+        return _load_dng_parsed(path, data)
+    except (struct.error, KeyError, IndexError) as exc:
+        raise ValueError(
+            f"{path!r}: truncated or corrupt TIFF/DNG container "
+            f"({type(exc).__name__}: {exc})") from exc
+
+
+def _load_dng_parsed(path: str, data: bytes) -> RawImage:
     tiff = _Tiff(data)
     ifds = tiff.all_ifds()
     cfa_ifds = [i for i in ifds if i.get(_TAG_PHOTOMETRIC) == _PHOTOMETRIC_CFA]

@@ -24,13 +24,25 @@ struct BitReader {
     uint32_t bitbuf = 0;
     int bitcount = 0;
     bool hit_marker = false;
+    // bits fed as pad (past a marker or hard EOF).  A well-formed
+    // stream needs only final-byte padding plus decoder look-ahead
+    // (< ~64 bits); a TRUNCATED stream decodes its remaining samples
+    // entirely from pad, so the counter exposes it.
+    size_t pad_bits = 0;
 
     explicit BitReader(const uint8_t* d, size_t n) : data(d), size(n) {}
 
     // Refill with JPEG byte stuffing: 0xFF 0x00 -> literal 0xFF;
-    // 0xFF other -> marker (stop).
+    // 0xFF other -> marker (stop); hard EOF -> pad with ones.
     inline void refill() {
-        while (bitcount <= 24 && pos < size) {
+        while (bitcount <= 24) {
+            if (pos >= size) {
+                // hard EOF (no trailing marker): spec pad, counted
+                pad_bits += 8;
+                bitbuf |= 0xFFu << (24 - bitcount);
+                bitcount += 8;
+                continue;
+            }
             uint8_t b = data[pos];
             if (b == 0xFF) {
                 if (pos + 1 < size && data[pos + 1] == 0x00) {
@@ -38,6 +50,7 @@ struct BitReader {
                 } else {
                     // marker: feed ones (spec pad); flag it
                     hit_marker = true;
+                    pad_bits += 8;
                     bitbuf |= 0xFFu << (24 - bitcount);
                     bitcount += 8;
                     continue;
@@ -74,6 +87,7 @@ struct BitReader {
         bitbuf = 0;
         bitcount = 0;
         hit_marker = false;
+        pad_bits = 0;  // look-ahead pad at an interval boundary is legit
         // scan forward to the RST marker and skip it
         while (pos + 1 < size) {
             if (data[pos] == 0xFF && data[pos + 1] >= 0xD0 &&
@@ -92,12 +106,16 @@ struct Huffman {
     uint8_t length[65536];
     bool valid = false;
 
-    void build(const uint8_t counts[16], const uint8_t* symbols) {
+    // Returns false (and stays !valid) when the counts do not form a
+    // canonical prefix code — a corrupt DHT would otherwise index the
+    // lookup tables out of bounds (code << (16 - len) past 65536).
+    bool build(const uint8_t counts[16], const uint8_t* symbols) {
         memset(length, 0, sizeof(length));
         int code = 0;
         int k = 0;
         for (int len = 1; len <= 16; ++len) {
             for (int i = 0; i < counts[len - 1]; ++i) {
+                if (code >= (1 << len)) return false;  // Kraft violated
                 int lo = code << (16 - len);
                 int hi = lo + (1 << (16 - len));
                 for (int c = lo; c < hi; ++c) {
@@ -110,6 +128,7 @@ struct Huffman {
             code <<= 1;
         }
         valid = true;
+        return true;
     }
 };
 
@@ -120,10 +139,14 @@ inline int extend(int v, int ssss) {
     return v;
 }
 
+// INT32_MIN signals an invalid (unassigned) code — a corrupt or
+// truncated stream; real diffs are within [-65535, 65535].
+constexpr int kBadCode = INT32_MIN;
+
 inline int decode_diff(BitReader& br, const Huffman& h) {
     int peek = br.peek16();
     int len = h.length[peek];
-    if (len == 0) return 0;  // corrupt stream; keep going
+    if (len == 0) return kBadCode;
     int ssss = h.value[peek];
     br.skip(len);
     if (ssss == 0) return 0;
@@ -138,15 +161,18 @@ extern "C" {
 
 // Decode a lossless JPEG payload.
 //   data/size    : the JPEG stream (starting at SOI)
-//   out          : caller buffer of out_rows*out_cols uint16
-//   out_rows/cols: expected sensor geometry; the decoder writes
-//                  components interleaved along rows: row-major
-//                  (jpeg_height, jpeg_width * n_components) which the
-//                  caller reshapes.
-// Returns 0 on success, negative error code otherwise.
+//   out          : caller buffer of out_capacity uint16 samples
+//   out_capacity : buffer length in samples (int64: sensor geometries
+//                  can exceed 2^31 samples only via corrupt headers,
+//                  which the bound check must still reject, not wrap)
+// Returns 0 on success, negative error code otherwise:
+//   -1 no SOI  -2 bad SOF fields  -3 EOI before SOS  -4 incomplete
+//   headers  -5 frame exceeds out buffer  -6 missing/corrupt Huffman
+//   table  -7 segment overruns the payload  -8 truncated scan data
+//   -9 invalid Huffman code in scan
 // On success, *jw/*jh/*jc receive the JPEG frame geometry.
 int lljpeg_decode(const uint8_t* data, size_t size, uint16_t* out,
-                  int out_capacity, int* jw, int* jh, int* jc) {
+                  int64_t out_capacity, int* jw, int* jh, int* jc) {
     if (size < 4 || data[0] != 0xFF || data[1] != 0xD8) return -1;  // no SOI
     size_t pos = 2;
     Huffman tables[4];
@@ -161,44 +187,54 @@ int lljpeg_decode(const uint8_t* data, size_t size, uint16_t* out,
         uint8_t marker = data[pos + 1];
         if (marker == 0xD8 || marker == 0x01 ||
             (marker >= 0xD0 && marker <= 0xD7)) { pos += 2; continue; }
-        int seglen = (data[pos + 2] << 8) | data[pos + 3];
+        if (marker == 0xD9) return -3;  // EOI before SOS
+        size_t seglen = (data[pos + 2] << 8) | data[pos + 3];
+        // every marker we parse below carries a length field; a length
+        // running past the payload would read out of bounds
+        if (seglen < 2 || pos + 2 + seglen > size) return -7;
         const uint8_t* seg = data + pos + 4;
         if (marker == 0xC3 || marker == 0xC7 || marker == 0xCB ||
             marker == 0xCF) {  // SOF3 (+ hierarchical variants)
+            if (seglen < 8) return -7;
             precision = seg[0];
             height = (seg[1] << 8) | seg[2];
             width = (seg[3] << 8) | seg[4];
             ncomp = seg[5];
             if (ncomp < 1 || ncomp > 4) return -2;
+            if (precision < 2 || precision > 16) return -2;
         } else if (marker == 0xC4) {  // DHT (possibly multiple tables)
-            int off = 0;
+            size_t off = 0;
             while (off + 17 <= seglen - 2) {
                 int tc_th = seg[off];
                 int id = tc_th & 0x0F;
                 const uint8_t* counts = seg + off + 1;
-                int total = 0;
+                size_t total = 0;
                 for (int i = 0; i < 16; ++i) total += counts[i];
-                if (id < 4)
-                    tables[id].build(counts, seg + off + 17);
+                if (off + 17 + total > seglen - 2) return -7;
+                if (id < 4 && !tables[id].build(counts, seg + off + 17))
+                    return -6;  // non-canonical counts
                 off += 17 + total;
             }
         } else if (marker == 0xDD) {  // DRI
+            if (seglen < 4) return -7;
             restart_interval = (seg[0] << 8) | seg[1];
         } else if (marker == 0xDA) {  // SOS
-            int ns = seg[0];
-            for (int i = 0; i < ns && i < 4; ++i)
+            if (seglen < 3) return -7;
+            size_t ns = seg[0];
+            if (seglen < 2 + 1 + 2 * ns + 3) return -7;
+            for (size_t i = 0; i < ns && i < 4; ++i)
                 comp_table[i] = seg[1 + 2 * i + 1] >> 4;
             predictor = seg[1 + 2 * ns];
             pt = seg[3 + 2 * ns] & 0x0F;
             scan_start = pos + 4 + (seglen - 2);
             break;
-        } else if (marker == 0xD9) {  // EOI before SOS
-            return -3;
         }
         pos += 2 + seglen;
     }
     if (height == 0 || width == 0 || ncomp == 0 || scan_start == 0) return -4;
-    if (height * width * ncomp > out_capacity) return -5;
+    if (pt >= precision) return -2;
+    if (static_cast<int64_t>(height) * width * ncomp > out_capacity)
+        return -5;
     for (int c = 0; c < ncomp; ++c)
         if (!tables[comp_table[c]].valid) return -6;
 
@@ -225,6 +261,11 @@ int lljpeg_decode(const uint8_t* data, size_t size, uint16_t* out,
         for (int col = 0; col < width; ++col) {
             for (int c = 0; c < ncomp; ++c) {
                 int d = decode_diff(br, tables[comp_table[c]]);
+                if (d == kBadCode)
+                    // unassigned prefix: pad ones past EOF decode as an
+                    // invalid code (truncated scan), and mid-stream it
+                    // means corruption
+                    return br.pad_bits > 0 ? -8 : -9;
                 int pred;
                 if (row == restart_row && col >= restart_col) {
                     // first line of the scan / restart interval
@@ -265,6 +306,10 @@ int lljpeg_decode(const uint8_t* data, size_t size, uint16_t* out,
             }
         }
     }
+    // a complete scan consumes real bits to its last sample; needing
+    // more than ~64 pad bits means the stream ended early and the tail
+    // of the image decoded from padding, not data
+    if (br.pad_bits > 64) return -8;
     return 0;
 }
 

@@ -6,18 +6,30 @@ calibrate->detect->register->warp->stack pipeline on one TPU chip
 (target > 5 GPix/s; the reference has no published numbers — it runs
 this chain as single-threaded Python over FITS files).
 
+The workload measures the FULL reference calibrate chain
+(ApCalibrate.py:439-486: bias + exposure-scaled dark + flat division)
+— bias, dark, and flat master planes all ride through the fused
+kernel's in-kernel calibration — over frames dithered by SUB-PIXEL
+translations (real dither patterns are fractional; the warp
+interpolates real Lanczos weights, it never lands on copy-through
+integer offsets).
+
 Prints the north-star JSON line first:
 {"metric", "value", "unit", "vs_baseline"} — vs_baseline is measured
 GPix/s divided by the 5 GPix/s target — then a SECOND JSON line with
 the BASELINE.md secondary metric (RAW->grey FITS frames/s via
-bench_rawgrey.run, with the tunnel-bound caveat encoded as a field),
-so the driver captures both metrics every round.
+bench_rawgrey.run, median of k repeats with a spread field, tunnel
+caveat encoded), then a THIRD line: the same stack size with small
+FIELD ROTATIONS (0.1-0.25 deg, far above the 0.05 px translation-snap
+tolerance), so the per-pixel polynomial tap path — swarp's actual
+workload (resample_all.sh:330-342 LANCZOS3 under a rotated TAN WCS) —
+is measured end-to-end, not just correctness-tested.
 
 Env overrides: BENCH_FRAMES, BENCH_SIZE (square frame edge),
-BENCH_REPEATS; BENCH_SKIP_RAWGREY=1 skips the secondary metric;
-BENCH_RAW_FRAMES / BENCH_RAW_SIZE size it (defaults 6 x 3904^2 here —
-smaller than bench_rawgrey.py's standalone default to bound driver
-wall time on the tunnel-I/O-dominated path).
+BENCH_REPEATS; BENCH_SKIP_RAWGREY=1 / BENCH_SKIP_ROTATION=1 skip the
+secondary metrics; BENCH_RAW_FRAMES / BENCH_RAW_SIZE size the RAW line
+(defaults 6 x 3904^2 here — smaller than bench_rawgrey.py's standalone
+default to bound driver wall time on the tunnel-I/O-dominated path).
 """
 
 import json
@@ -30,71 +42,139 @@ import numpy as np
 # Persistent XLA compilation cache: the fused mega-kernel compiles in
 # ~8-10 min on this host's single core; a repo-local cache turns every
 # later bench invocation (including the driver's) into a ~1 min run.
+# NOTE: this environment's JAX build ignores JAX_COMPILATION_CACHE_DIR
+# (the env vars are kept for other builds); the cache only activates
+# via jax.config.update — utils.compile_cache.enable_compile_cache,
+# called at the top of main() below.
 _CACHE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                           ".jax_cache")
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", _CACHE_DIR)
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "5")
 
+# round-4 driver-recorded headline (BENCH_r04.json) for the delta field
+_R4_GPIX = 8.936
 
-def _attempt(n_frames: int, size: int, repeats: int,
-             combine_impl: str = "pallas") -> dict:
-    import jax
-    import jax.numpy as jnp
 
-    from astrophotography_tpu.models import PipelineConfig, calibrate_register_stack
-    from astrophotography_tpu.models.pipeline import calibrate_register_stack_lean
+def _make_workload(n_frames: int, size: int, rotate: bool = False):
+    """Synthetic observing run with the full reference master set.
+
+    Frames are uint16 raw counts: scene*flat + bias + 0.5*dark_counts
+    (lights at half the dark master's exposure, so the exp-ratio dark
+    scaling term is exercised with r != 1).  Dithers are SUB-PIXEL
+    uniform(-4, 4); with ``rotate`` each frame additionally rotates
+    about the field center by 0.1-0.25 deg — corner displacement
+    ~5-13 px at 4k, far beyond the 0.05 px snap tolerance, forcing the
+    general per-pixel polynomial tap path.
+
+    Returns (frames u16 (N,H,W), bias, dark_master, flat, exp_ratios,
+    max_offset_px).
+    """
     from astrophotography_tpu import synth
 
     rng = np.random.default_rng(0)
-
-    # synthetic field: ~40 stars, realistic levels, per-frame dithers
-    base = np.full((size, size), 800.0, np.float32)
-    xs = rng.uniform(32, size - 32, 40)
-    ys = rng.uniform(32, size - 32, 40)
-    fl = rng.uniform(20000, 60000, 40)
-    for x, y, f in zip(xs, ys, fl):
-        # add stars on a small patch only (cheap host-side construction)
-        x0, y0 = int(x) - 12, int(y) - 12
-        patch = synth.gaussian_star((25, 25), x - x0, y - y0, f, 3.0)
-        base[y0:y0 + 25, x0:x0 + 25] += patch
-    # frames in uint16, as real detectors deliver them (the pipeline
-    # converts on device; halves the resident input stack).  A small
-    # bank of pre-generated noise fields keeps host-side construction
-    # fast for the 100x16-Mpix lead config (fresh 16-Mpix gaussians per
-    # frame would cost minutes; throughput is value-independent)
-    frames = np.empty((n_frames, size, size), np.uint16)
+    # master planes: mild radial vignette flat, biased dark with hot px
+    yy = (np.arange(size, dtype=np.float32) - size / 2) / size
+    r2 = yy[:, None] ** 2 + yy[None, :] ** 2
+    flat = (1.0 - 0.08 * r2 / r2.max()).astype(np.float32)
     bias = np.full((size, size), 300.0, np.float32)
+    dark_counts = np.full((size, size), 40.0, np.float32)
+    hot = rng.integers(0, size, (200, 2))
+    dark_counts[hot[:, 0], hot[:, 1]] = 5000.0
+    dark_master = bias + dark_counts  # dark_still_biased convention
+    exp_ratio = 0.5  # 60 s lights vs 120 s master dark
+
+    # star catalog (~40 stars, realistic levels)
+    xs = rng.uniform(48, size - 48, 40)
+    ys = rng.uniform(48, size - 48, 40)
+    fl = rng.uniform(20000, 60000, 40)
+
+    # fixed per-frame background: scene sky * flat + bias + r*dark.
+    # Stars are painted per frame at their dithered (and rotated)
+    # positions on small patches — a true sub-pixel-shifted scene at
+    # host cost O(stars), not O(pixels)
+    base_fixed = 800.0 * flat + bias + exp_ratio * dark_counts
     noise_bank = [rng.normal(0, 8.0, (size, size)).astype(np.float32)
                   for _ in range(min(4, n_frames))]
+    cx = cy = (size - 1) / 2.0
+    frames = np.empty((n_frames, size, size), np.uint16)
+    max_off = 0.0
     for i in range(n_frames):
-        dx, dy = (rng.uniform(-4, 4, 2) if i else (0.0, 0.0))
-        shifted = np.roll(np.roll(base, int(round(dy)), axis=0),
-                          int(round(dx)), axis=1)
-        frames[i] = np.clip(shifted + noise_bank[i % len(noise_bank)]
-                            + bias, 0, 65535).astype(np.uint16)
+        if i == 0:
+            dx = dy = theta = 0.0
+        else:
+            dx, dy = rng.uniform(-4.0, 4.0, 2)  # sub-pixel, NOT rounded
+            theta = (float(rng.choice([-1.0, 1.0])
+                           * np.deg2rad(rng.uniform(0.1, 0.25)))
+                     if rotate else 0.0)
+        c, s = np.cos(theta), np.sin(theta)
+        f = base_fixed + noise_bank[i % len(noise_bank)]
+        for x, y, amp in zip(xs, ys, fl):
+            # star center under this frame's similarity transform
+            px = c * (x - cx) - s * (y - cy) + cx + dx
+            py = s * (x - cx) + c * (y - cy) + cy + dy
+            x0, y0 = int(px) - 12, int(py) - 12
+            patch = synth.gaussian_star((25, 25), px - x0, py - y0,
+                                        amp, 3.0)
+            f[y0:y0 + 25, x0:x0 + 25] += patch * flat[y0:y0 + 25,
+                                                      x0:x0 + 25]
+            max_off = max(max_off, float(np.hypot(px - x, py - y)))
+        frames[i] = np.clip(f, 0, 65535).astype(np.uint16)
+    return frames, bias, dark_master, flat, exp_ratio, max_off
+
+
+def _attempt(n_frames: int, size: int, repeats: int,
+             combine_impl: str = "pallas", rotate: bool = False) -> dict:
+    import jax
+    import jax.numpy as jnp
+
+    from astrophotography_tpu.models import (PipelineConfig,
+                                             calibrate_register_stack)
+    from astrophotography_tpu.models.pipeline import (
+        calibrate_register_stack_lean)
+
+    frames, bias, dark, flat, exp_ratio, max_off = _make_workload(
+        n_frames, size, rotate=rotate)
+    exp_ratios = np.full((n_frames,), exp_ratio, np.float32)
 
     n_bands = int(os.environ.get("BENCH_BANDS", "0"))
     if combine_impl == "lean":
-        # memory-lean path: raw uint16 stack + in-kernel calibration,
-        # apron-free fused warp+combine, tile-mode peak ranking — the
-        # only configuration that fits 100x16-Mpix on one chip
-        cfg = PipelineConfig(max_stars=48, match_k=10,
-                             detect_mode="chunked", detect_chunk=2,
-                             detect_topk="tile", detect_fast=True,
-                             detect_bin_rows=True, centroid="kernel",
-                             warp_span=8, fused_apron=False,
-                             # the bench workload dithers by <= +-4 px
-                             # (known observing pattern), so the
-                             # translation SPREAD is <= 8 px; declaring
-                             # it shrinks the source window one
-                             # delivery block vs the safe default
-                             dither_budget=8)
+        # memory-lean path: raw uint16 stack + in-kernel calibration
+        # (cal = raw*A - B - r*C with the full bias/dark/flat master
+        # set), apron-free fused warp+combine, tile-mode peak ranking —
+        # the only configuration that fits 100x16-Mpix on one chip
+        if rotate:
+            # rotation displaces per-tile frame windows by up to
+            # ~2*max_off across the frame set; the default 64 px
+            # spread budget absorbs it.  span=12 (default) covers the
+            # intra-block source-row shear at <= 0.25 deg
+            cfg = PipelineConfig(max_stars=48, match_k=10,
+                                 detect_mode="chunked", detect_chunk=2,
+                                 detect_topk="tile", detect_fast=True,
+                                 detect_bin_rows=True, centroid="kernel",
+                                 fused_apron=False)
+        else:
+            cfg = PipelineConfig(max_stars=48, match_k=10,
+                                 detect_mode="chunked", detect_chunk=2,
+                                 detect_topk="tile", detect_fast=True,
+                                 detect_bin_rows=True, centroid="kernel",
+                                 warp_span=8, fused_apron=False,
+                                 # the bench workload dithers by < +-4
+                                 # px (known observing pattern), so the
+                                 # translation SPREAD is < 8 px;
+                                 # declaring it shrinks the source
+                                 # window one delivery block vs the
+                                 # safe default
+                                 dither_budget=8)
         frames_d = jnp.asarray(frames)
         bias_d = jnp.asarray(bias)
+        dark_d = jnp.asarray(dark)
+        flat_d = jnp.asarray(flat)
+        ratios_d = jnp.asarray(exp_ratios)
 
         def run_lean():
-            stacked, _ = calibrate_register_stack_lean(frames_d, bias=bias_d,
-                                                       config=cfg)
+            stacked, _ = calibrate_register_stack_lean(
+                frames_d, bias=bias_d, dark=dark_d, flat=flat_d,
+                exp_ratios=ratios_d, config=cfg)
             return float(jnp.sum(stacked))
 
         run_lean()
@@ -119,20 +199,31 @@ def _attempt(n_frames: int, size: int, repeats: int,
             outs = None
             for _i in range(k):
                 outs, _ = calibrate_register_stack_lean(
-                    frames_d, bias=bias_d, config=cfg)
+                    frames_d, bias=bias_d, dark=dark_d, flat=flat_d,
+                    exp_ratios=ratios_d, config=cfg)
             float(jnp.sum(outs))
             sus.append((time.perf_counter() - t0) / k)
         best = min(sus)
         gpix = n_frames * size * size / best / 1e9
-        return {
-            "metric": f"calibrate+register+stack GPix/s ({n_frames}x{size}^2"
-                      f" lean, sustained over {k} back-to-back runs, "
+        mode = ("rotated 0.1-0.25deg, general tap path" if rotate
+                else "sub-px dithers, translation-snap path")
+        result = {
+            "metric": f"full-cal(bias+dark+flat)+register+stack GPix/s "
+                      f"({n_frames}x{size}^2 lean, {mode}, sustained "
+                      f"over {k} back-to-back runs, "
                       f"{jax.devices()[0].device_kind})",
             "value": round(gpix, 3),
             "unit": "GPix/s",
             "vs_baseline": round(gpix / 5.0, 3),
             "single_run_ms": round(single_ms, 1),
         }
+        if rotate:
+            result["max_rotation_offset_px"] = round(max_off, 1)
+        else:
+            # headline continuity: round 4 measured bias-only
+            # calibration over integer dithers
+            result["delta_vs_r4_bias_only"] = round(gpix - _R4_GPIX, 3)
+        return result
     if combine_impl == "fused":
         # the fused warp+combine kernel never materializes stack-sized
         # temporaries, so banding is unnecessary at any size
@@ -150,10 +241,14 @@ def _attempt(n_frames: int, size: int, repeats: int,
                          combine_impl=combine_impl)
     frames_d = jnp.asarray(frames)
     bias_d = jnp.asarray(bias)
+    dark_d = jnp.asarray(dark)
+    flat_d = jnp.asarray(flat)
+    ratios_d = jnp.asarray(exp_ratios)
 
     def run_once():
-        stacked, diag = calibrate_register_stack(frames_d, bias=bias_d,
-                                                 config=cfg)
+        stacked, diag = calibrate_register_stack(
+            frames_d, bias=bias_d, dark=dark_d, flat=flat_d,
+            exp_ratios=ratios_d, config=cfg)
         # force real completion: a device-side reduction transferred to
         # host (block_until_ready alone does not synchronize through the
         # axon remote tunnel)
@@ -168,7 +263,7 @@ def _attempt(n_frames: int, size: int, repeats: int,
     best = min(times)
     gpix = n_frames * size * size / best / 1e9
     return {
-        "metric": f"calibrate+register+stack GPix/s ({n_frames}x{size}^2, "
+        "metric": f"full-cal+register+stack GPix/s ({n_frames}x{size}^2, "
                   f"{jax.devices()[0].device_kind})",
         "value": round(gpix, 3),
         "unit": "GPix/s",
@@ -177,6 +272,9 @@ def _attempt(n_frames: int, size: int, repeats: int,
 
 
 def main() -> int:
+    from astrophotography_tpu.utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache(_CACHE_DIR)
     repeats = int(os.environ.get("BENCH_REPEATS", "3"))
     if "BENCH_FRAMES" in os.environ or "BENCH_SIZE" in os.environ:
         ladder = [(int(os.environ.get("BENCH_FRAMES", "40")),
@@ -200,6 +298,7 @@ def main() -> int:
                 result = _attempt(n_frames, size, repeats, combine_impl=impl)
                 print(json.dumps(result), flush=True)
                 _secondary(repeats)
+                _rotation_line(n_frames, size, repeats, impl)
                 return 0
             except Exception as exc:  # OOM, compile failure, ...
                 last_err = exc
@@ -222,11 +321,27 @@ def _secondary(repeats: int) -> None:
         result = bench_rawgrey.run(
             n_frames=int(os.environ.get("BENCH_RAW_FRAMES", "6")),
             size=int(os.environ.get("BENCH_RAW_SIZE", "3904")),
-            repeats=min(repeats, 2),
+            repeats=max(repeats, 3),
             compression=int(os.environ.get("BENCH_RAW_COMPRESSION", "7")))
         print(json.dumps(result), flush=True)
     except Exception as exc:
         print(f"# secondary (RAW->grey) metric failed: "
+              f"{type(exc).__name__}: {exc}", file=sys.stderr)
+
+
+def _rotation_line(n_frames: int, size: int, repeats: int,
+                   impl: str) -> None:
+    """Emit the general-path (field rotation) figure as a third JSON
+    line — swarp's actual workload; failures never mask the first two
+    lines."""
+    if os.environ.get("BENCH_SKIP_ROTATION") == "1":
+        return
+    try:
+        result = _attempt(n_frames, size, repeats, combine_impl=impl,
+                          rotate=True)
+        print(json.dumps(result), flush=True)
+    except Exception as exc:
+        print(f"# rotation (general-path) metric failed: "
               f"{type(exc).__name__}: {exc}", file=sys.stderr)
 
 

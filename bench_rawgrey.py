@@ -36,6 +36,11 @@ def run(n_frames: int, size: int, repeats: int,
     second BASELINE metric each round)."""
     import jax
 
+    from astrophotography_tpu.utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache(os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), ".jax_cache"))
+
     from astrophotography_tpu import synth
     from astrophotography_tpu.core.raw_conv import RawConv
     from astrophotography_tpu.io.fits import Header
@@ -101,8 +106,12 @@ def run(n_frames: int, size: int, repeats: int,
         return time.perf_counter() - t0
 
     run_once()  # compile + warm
-    best = min(run_once() for _ in range(repeats))
-    fps = n_frames / best
+    # the tunnel-bound path is noisy run to run (+-15% observed);
+    # report the MEDIAN of k >= 3 repeats with the spread so a single
+    # outlier never becomes the round's figure
+    k = max(repeats, 3)
+    fps_runs = sorted(n_frames / run_once() for _ in range(k))
+    fps = float(np.median(fps_runs))
     mpix = size * size / 1e6
     result = {
         "metric": f"RAW->grey FITS frames/s ({n_frames}x{mpix:.1f}Mpix "
@@ -110,9 +119,16 @@ def run(n_frames: int, size: int, repeats: int,
                   f" {jax.devices()[0].device_kind})",
         "value": round(fps, 2),
         "unit": "frames/s",
-        # no reference number exists (BASELINE.md); report vs a 1 fps
-        # single-threaded-Python strawman the reference's stack implies
-        "vs_baseline": round(fps / 1.0, 2),
+        # the reference publishes NO number for this path (BASELINE.md)
+        # — there is no real baseline to divide by
+        "vs_baseline": None,
+        # the builder's own estimate of the reference stack: ~1 frame/s
+        # single-threaded LibRaw-decode + numpy on one core
+        # (PERFORMANCE.md "RAW->grey" section states the basis)
+        "vs_estimated_reference": round(fps / 1.0, 2),
+        "method": f"median of {k} repeats",
+        "spread": {"min": round(fps_runs[0], 2),
+                   "max": round(fps_runs[-1], 2)},
         # environment caveat, encoded as data per VERDICT r3: through
         # the remote axon TPU tunnel the u16 mosaic up + grey back
         # (~61 MB/frame) dominates at ~26 MB/s; on a PCIe-attached

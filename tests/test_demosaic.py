@@ -395,3 +395,116 @@ def test_raw_to_rgb_ahd_selectable():
     wb = np.ones(4, np.float32)
     out = np.asarray(raw_to_rgb(mosaic, cmap, blacks, wb, algorithm="ahd"))
     assert out.shape == (16, 16, 3)
+
+
+def _ahd_golden(mosaic, cmap):
+    """Independent numpy AHD re-derivation (Hirakawa & Parks 2005 /
+    dcraw ahd_interpolate as specified in ops/demosaic.py's docstring):
+    directional greens with half-Laplacian correction, chroma via
+    mask-normalized bilinear of the color-difference planes, and the
+    3x3-box-smoothed homogeneity vote in luma/color-difference space.
+    Boundary conventions are part of the spec: shifts wrap (Bayer phase
+    preserved), 3x3 convolutions zero-pad.  Written against the paper
+    and the docstring, NOT derived from the jax code's output.
+    """
+    v = mosaic.astype(np.float64)
+    site_r = cmap == 0
+    site_b = cmap == 2
+    site_g = (cmap == 1) | (cmap == 3)
+
+    def sh(x, dy, dx):
+        return np.roll(x, (dy, dx), axis=(0, 1))
+
+    kern = np.array([[0.25, 0.5, 0.25], [0.5, 1.0, 0.5],
+                     [0.25, 0.5, 0.25]])
+
+    def conv3(x, k=kern):
+        hh, ww = x.shape
+        p = np.pad(x, 1)
+        out = np.zeros_like(x)
+        for dy in range(3):
+            for dx in range(3):
+                if k[dy, dx]:
+                    out += k[dy, dx] * p[dy:dy + hh, dx:dx + ww]
+        return out
+
+    gh = 0.5 * (sh(v, 0, -1) + sh(v, 0, 1)) \
+        + 0.25 * (2.0 * v - sh(v, 0, -2) - sh(v, 0, 2))
+    gv = 0.5 * (sh(v, -1, 0) + sh(v, 1, 0)) \
+        + 0.25 * (2.0 * v - sh(v, -2, 0) - sh(v, 2, 0))
+
+    cands = []
+    for g0 in (gh, gv):
+        g = np.where(site_g, v, g0)
+        planes = [g]
+        for site in (site_r, site_b):
+            diff = np.where(site, v - g, 0.0)
+            plane = g + conv3(diff) / np.maximum(
+                conv3(site.astype(np.float64)), 1e-12)
+            planes.append(np.where(site, v, plane))
+        cands.append(np.stack([planes[1], planes[0], planes[2]], axis=-1))
+
+    def luma_chroma(c):
+        lum = 0.25 * (c[..., 0] + 2.0 * c[..., 1] + c[..., 2])
+        return lum, c[..., 0] - c[..., 1], c[..., 2] - c[..., 1]
+
+    nbrs = ((0, -1), (0, 1), (-1, 0), (1, 0))
+
+    def diffs(lum, u, w):
+        dl = [np.abs(lum - sh(lum, dy, dx)) for dy, dx in nbrs]
+        dc = [(u - sh(u, dy, dx)) ** 2 + (w - sh(w, dy, dx)) ** 2
+              for dy, dx in nbrs]
+        return dl, dc
+
+    lh, uh, wh_ = luma_chroma(cands[0])
+    lv, uv, wv = luma_chroma(cands[1])
+    dlh, dch = diffs(lh, uh, wh_)
+    dlv, dcv = diffs(lv, uv, wv)
+    eps_l = np.minimum(np.maximum(dlh[0], dlh[1]),
+                       np.maximum(dlv[2], dlv[3]))
+    eps_c = np.minimum(np.maximum(dch[0], dch[1]),
+                       np.maximum(dcv[2], dcv[3]))
+    hom_h = sum(((dl <= eps_l) & (dc <= eps_c)).astype(np.float64)
+                for dl, dc in zip(dlh, dch))
+    hom_v = sum(((dl <= eps_l) & (dc <= eps_c)).astype(np.float64)
+                for dl, dc in zip(dlv, dcv))
+    box = np.ones((3, 3))
+    s_h = conv3(hom_h, box)
+    s_v = conv3(hom_v, box)
+    out = 0.5 * (cands[0] + cands[1])
+    out = np.where((s_h > s_v)[..., None], cands[0], out)
+    out = np.where((s_v > s_h)[..., None], cands[1], out)
+    return out
+
+
+@pytest.mark.parametrize("pattern", [
+    np.array([[0, 1], [3, 2]], np.uint8),   # RGGB
+    np.array([[2, 1], [3, 0]], np.uint8),   # BGGR
+    np.array([[1, 0], [2, 3]], np.uint8),   # GRBG
+    np.array([[1, 2], [0, 3]], np.uint8),   # GBRG
+])
+def test_demosaic_ahd_matches_independent_golden(pattern):
+    """AHD values against a from-the-paper numpy re-derivation (the
+    _mhc_golden pattern applied to AHD): the expected values are NOT
+    produced by the code under test.  The homogeneity vote is discrete,
+    so f32-vs-f64 rounding may flip the direction pick at a handful of
+    near-tie pixels — those pixels get the other candidate's (equally
+    valid) value; everything else must match tightly."""
+    from astrophotography_tpu.ops import demosaic_ahd
+
+    rng = np.random.default_rng(11)
+    h, w = 24, 28
+    # smooth scene + noise: realistic correlations, not white noise,
+    # so directional picks are meaningful
+    yy, xx = np.mgrid[0:h, 0:w]
+    scene = 2000.0 + 40.0 * xx + 25.0 * yy
+    mosaic = (scene + rng.normal(0, 60, (h, w))).astype(np.float32)
+    cmap = synth.bayer_color_map((h, w), pattern)
+    out = np.asarray(demosaic_ahd(mosaic, cmap))
+    golden = _ahd_golden(mosaic, cmap)
+    err = np.abs(out - golden)
+    matched = err <= 0.05 + 1e-5 * np.abs(golden)
+    # near-tie direction flips only: bounded count, and every
+    # mismatching pixel must equal the OTHER direction's candidate
+    assert matched.mean() > 0.98, matched.mean()
+    assert np.median(err) < 1e-3

@@ -16,6 +16,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 import jax.numpy as jnp
 
+from astrophotography_tpu.utils.compile_cache import enable_compile_cache
+
+# this JAX build ignores the env vars above; activate via config
+enable_compile_cache(os.environ["JAX_COMPILATION_CACHE_DIR"])
+
 from astrophotography_tpu.ops.pallas_warp_combine import pallas_warp_combine
 from tools.stagebench import make_inputs
 
