@@ -182,3 +182,47 @@ def test_sharded_fused_rejects_bad_halo():
     cal, mats = _stack(n=2, h=256, w=512)
     with pytest.raises(ValueError):
         sharded_warp_combine(cal, mats, mesh, halo=64)  # halo >= band
+
+
+def test_sharded_fused_rotation_general_path_matches():
+    """Sharded parity with rotations ABOVE the snap tolerance: the
+    per-band matrix re-basing (shift = [m01*yoff, m11*yoff - yoff],
+    parallel/fused.py) carries rotation terms that pure translations
+    never exercise, and every shard must take the general per-pixel
+    tap path (corner deviation ~0.5 px >> snap_tol 0.05)."""
+    devs = jax.devices()
+    assert len(devs) >= 4
+    mesh = frame_space_mesh(n_frame=1, n_space=4, devices=devs[:4])
+    rng = np.random.default_rng(23)
+    h, w = 256, 256
+    yy = np.linspace(0, 30, h, dtype=np.float32)[:, None]
+    xx = np.linspace(0, 20, w, dtype=np.float32)[None, :]
+    base = 800.0 + yy + xx
+    small = rng.normal(0, 5, (h // 16, w // 16)).astype(np.float32)
+    base = base + np.kron(small, np.ones((16, 16), np.float32))
+    frames = np.stack([base + float(i) for i in range(4)])
+    cx, cy = (w - 1) / 2.0, (h - 1) / 2.0
+    mats = []
+    for f in range(4):
+        theta = 0.0 if f == 0 else float(
+            rng.choice([-1.0, 1.0]) * rng.uniform(0.002, 0.004))
+        tx, ty = (0.0, 0.0) if f == 0 else rng.uniform(-2, 2, 2)
+        c, s = np.cos(theta), np.sin(theta)
+        # rotate about the frame center so offsets stay halo-sized
+        mats.append([[c, -s, tx + cx - c * cx + s * cy],
+                     [s, c, ty + cy - s * cx - c * cy]])
+    cal = jnp.asarray(frames.astype(np.float32))
+    mats = jnp.asarray(np.asarray(mats, np.float32))
+
+    ref = np.asarray(pallas_warp_combine(cal, mats, tile=(128, 256)))
+    with mesh:
+        got = np.asarray(sharded_warp_combine(cal, mats, mesh, halo=16,
+                                              tile=(32, 256)))
+    assert got.shape == ref.shape
+    both = (got != 0) & (ref != 0)
+    assert both.mean() > 0.9
+    # identical coverage pattern and tight value parity
+    np.testing.assert_array_equal(got == 0, ref == 0)
+    err = np.abs(got[both] - ref[both])
+    assert np.median(err) < 1e-3
+    assert err.max() < 0.05
