@@ -262,8 +262,10 @@ def _attempt(n_frames: int, size: int, repeats: int,
         times.append(time.perf_counter() - t0)
     best = min(times)
     gpix = n_frames * size * size / best / 1e9
+    mode = "rotated 0.1-0.25deg" if rotate else "sub-px dithers"
     return {
-        "metric": f"full-cal+register+stack GPix/s ({n_frames}x{size}^2, "
+        "metric": f"full-cal+register+stack GPix/s ({n_frames}x{size}^2 "
+                  f"{combine_impl}, {mode}, "
                   f"{jax.devices()[0].device_kind})",
         "value": round(gpix, 3),
         "unit": "GPix/s",
