@@ -56,6 +56,11 @@ class PipelineConfig:
     #: shift budget of the separable warp: 12 covers the rotations of
     #: dithered same-rig stacks (~0.1 deg at 2k); raise for mosaics
     warp_span: int = 12
+    #: fused-kernel non-snapped tap path: 'exact' handles any affine;
+    #: 'lowrank' is ~25% faster for dither+field-rotation stacks
+    #: (drift bounded by the 0.05 px snap tolerance; frames beyond
+    #: ~0.8 deg at 1k tiles are coverage-excluded, not approximated)
+    general_taps: str = "exact"
     dark_still_biased: bool = True
     #: number of horizontal bands the warp+combine streams over.  1 =
     #: whole-stack at once (fastest when it fits); larger values bound
@@ -133,6 +138,9 @@ class PipelineConfig:
         if self.noise_center not in ("mean", "median"):
             raise ValueError(f"PipelineConfig.noise_center must be 'mean' "
                              f"or 'median', got {self.noise_center!r}")
+        if self.general_taps not in ("exact", "lowrank"):
+            raise ValueError(f"PipelineConfig.general_taps must be 'exact' "
+                             f"or 'lowrank', got {self.general_taps!r}")
 
 
 def _noise_row_stride(h: int) -> int:
@@ -503,7 +511,8 @@ def calibrate_register_stack(
             cal, matrices, span=config.warp_span, tile=config.fused_tile,
             sigma_lower=config.sigma_lower, sigma_upper=config.sigma_upper,
             apron=apron, combine=config.combine,
-            dither_budget=config.dither_budget)
+            dither_budget=config.dither_budget,
+            general_taps=config.general_taps)
         diagnostics = {
             "scale": sims.scale,
             "theta": sims.theta,
@@ -682,7 +691,8 @@ def calibrate_register_stack_lean(
         span=config.warp_span, tile=config.fused_tile,
         sigma_lower=config.sigma_lower,
         sigma_upper=config.sigma_upper, apron=apron,
-        combine=config.combine, dither_budget=config.dither_budget)
+        combine=config.combine, dither_budget=config.dither_budget,
+        general_taps=config.general_taps)
     diagnostics = {
         "scale": sims.scale, "theta": sims.theta,
         "tx": sims.tx, "ty": sims.ty,

@@ -75,18 +75,6 @@ def _l3(t):
     return jnp.where(u < 9.0, acc, 0.0)
 
 
-def _l3d(t):
-    """d/dt lanczos3(t) via the polynomial derivative: L3(t) = P(t^2)
-    so L3'(t) = 2 t P'(t^2).  Zero for |t| >= 3 — analytically exact
-    there too (sinc(3) = sinc(1) = 0 make the cutoff C1), so the
-    low-rank tap path's first-order correction never leaks outside the
-    kernel support."""
-    u = t * t
-    k = len(_L3_POLY) - 1
-    acc = jnp.float32(k * _L3_POLY[k])
-    for k in range(k - 1, 0, -1):
-        acc = acc * u + jnp.float32(k * _L3_POLY[k])
-    return jnp.where(u < 9.0, 2.0 * t * acc, 0.0)
 
 
 def _frame_bases(mats_ref, f, i, j, th, tw, span):
@@ -181,7 +169,8 @@ def _tile_window_origins(mats6, n_ti, n_tj, th, tw, span,
 
 def _make_kernel(n, th, tw, span, h_in, w_in, vb, hb, bh, bw, oy, ox,
                  sigma_lo, sigma_hi, align, combine, has_masters,
-                 fgroup=1, cchunk=None, lr_tol=0.0):
+                 fgroup=1, cchunk=None, lr_tol=0.0,
+                 general_taps="exact"):
     cw = tw if cchunk is None else cchunk
     wh = vb * bh     # window height
     ww = hb * bw     # window width
@@ -399,81 +388,76 @@ def _make_kernel(n, th, tw, span, h_in, w_in, vb, hb, bh, bw, oy, ox,
                 warped = warped + (ws2[k] * inv2) * mid[s:s + th, :]
             rows_ref[f] = jnp.where(cover, warped, big)
 
-        # low-rank weight decomposition: the horizontal tap distance is
-        #   t(r', c, s) = [gx*tj + gy*(vbase + r') + g0 - ubase] +
-        #                 (gx - 1)*c - s
-        # — a per-ROW base plus a per-COLUMN drift whose magnitude is
-        # |gx - 1|*(tw-1)/2 about the tile center (and symmetrically
-        # (m11 - 1)*(th-1)/2 for the vertical pass).  When both drifts
-        # are below ``lr_tol`` (the snap tolerance), first-order Taylor
-        #   L3(base + d) = L3(base) + d * L3'(base) + O(d^2 * L3'')
-        # collapses the per-tap weight work from a degree-10 polynomial
-        # over the full (thp, tw) grid to two evaluations on (thp, 1) /
-        # (1, tw) vectors; the residual is QUADRATIC in the drift
-        # (<= 0.5 * lr_tol^2 * max|L3''| ~ 4e-3 px-equivalent at the
-        # 0.05 px default — an order below the snap path's own bound),
-        # so stacking-scale field rotations (<~ 0.8 deg at tw=1024) run
-        # ~3x cheaper with no measurable accuracy change.  Larger
-        # rotations/scales keep the exact per-pixel path below.
-        is_lr = ((jnp.abs(gx - 1.0) * ((tw - 1) * 0.5) < lr_tol)
-                 & (jnp.abs(m11 - 1.0) * ((th - 1) * 0.5) < lr_tol))
+        if general_taps == "lowrank":
+            # low-rank weight decomposition: the horizontal tap
+            # distance is
+            #   t(r', c, s) = [gx*tj + gy*(vbase + r') + g0 - ubase]
+            #                 + (gx - 1)*c - s
+            # — a per-ROW base plus a per-COLUMN drift of magnitude
+            # |gx - 1|*(tw-1)/2 about the tile center (symmetrically
+            # (m11 - 1)*(th-1)/2 for the vertical pass).  Dropping the
+            # drift collapses the per-tap weight work from a degree-10
+            # polynomial over the full (thp, tw) grid to one
+            # evaluation on a (thp, 1) / (1, tw) vector.  Because the
+            # weight SUM normalizes the taps and sum_s L3'(b - s) ~ 0
+            # (it is d/db of the near-constant sum_s L3(b - s)), the
+            # value error is a pure sampling-position displacement
+            # <= the drift — the SAME error class and bound as the
+            # translation-snap path, and ~10x under it at real
+            # stacking geometries (0.25 deg at tw=1024: 4.9e-3 px).
+            # Frames whose drift exceeds ``lr_tol`` (rotations beyond
+            # ~0.8 deg at tw=1024, or garbage registration matrices)
+            # are EXCLUDED via coverage — the kernel's established
+            # graceful-degradation contract (cf. dither_budget /
+            # base_ok) — rather than resampled approximately; callers
+            # needing arbitrary-angle warps use general_taps='exact'.
+            # This is a compile-time choice so the kernel only ever
+            # carries TWO tap bodies: a third live branch measurably
+            # taxes Mosaic's register allocation (~25% on the
+            # executed path at 100 x 4096^2).
+            in_gate = ((jnp.abs(gx - 1.0) * ((tw - 1) * 0.5) < lr_tol)
+                       & (jnp.abs(m11 - 1.0) * ((th - 1) * 0.5)
+                          < lr_tol))
+            cover_g = cover & in_gate
 
-        @pl.when(jnp.logical_not(is_trans) & is_lr)
-        def _taps_lowrank():
-            rp = jax.lax.broadcasted_iota(jnp.int32, (thp, 1), 0) \
-                .astype(jnp.float32)
-            bu = (gx * (j.astype(jnp.float32) * tw)
-                  + gy * (vbase.astype(jnp.float32) + rp) + g0
-                  - ubase.astype(jnp.float32)
-                  + (gx - 1.0) * ((tw - 1) * 0.5))        # (thp, 1)
-            du = (gx - 1.0) * (cc[0:1, :] - (tw - 1) * 0.5)  # (1, tw)
-            acc0 = jnp.zeros((thp, tw), jnp.float32)
-            acc1 = jnp.zeros((thp, tw), jnp.float32)
-            w0s = jnp.zeros((thp, 1), jnp.float32)
-            w1s = jnp.zeros((thp, 1), jnp.float32)
-            for s in range(span):
-                t = bu - s
-                w0 = _l3(t)
-                w1 = _l3d(t)
-                sl = alig[:, s:s + tw]
-                acc0 = acc0 + w0 * sl
-                acc1 = acc1 + w1 * sl
-                w0s = w0s + w0
-                w1s = w1s + w1
-            wsum = w0s + du * w1s
-            safe = jnp.abs(wsum) > 1e-3
-            mid = jnp.where(
-                safe, (acc0 + du * acc1) / jnp.where(safe, wsum, 1.0),
-                0.0)
+            @pl.when(jnp.logical_not(is_trans))
+            def _taps_lowrank():
+                rp = jax.lax.broadcasted_iota(jnp.int32, (thp, 1), 0) \
+                    .astype(jnp.float32)
+                bu = (gx * (j.astype(jnp.float32) * tw)
+                      + gy * (vbase.astype(jnp.float32) + rp) + g0
+                      - ubase.astype(jnp.float32)
+                      + (gx - 1.0) * ((tw - 1) * 0.5))      # (thp, 1)
+                acc0 = jnp.zeros((thp, tw), jnp.float32)
+                w0s = jnp.zeros((thp, 1), jnp.float32)
+                for s in range(span):
+                    w0 = _l3(bu - s)
+                    acc0 = acc0 + w0 * alig[:, s:s + tw]
+                    w0s = w0s + w0
+                safe = jnp.abs(w0s) > 1e-3
+                mid = jnp.where(
+                    safe, acc0 / jnp.where(safe, w0s, 1.0), 0.0)
 
-            # vertical: t(r, c, s) = [m10*x_out + m11*i*th + m12 -
-            # vbase] + (m11 - 1)*r - s — per-column base, per-row drift
-            bv = (m10 * x_out[0:1, :]
-                  + m11 * (i.astype(jnp.float32) * th) + m12
-                  - vbase.astype(jnp.float32)
-                  + (m11 - 1.0) * ((th - 1) * 0.5))       # (1, tw)
-            dv = (m11 - 1.0) * (rr[:, 0:1] - (th - 1) * 0.5)  # (th, 1)
-            acc2 = jnp.zeros((th, tw), jnp.float32)
-            acc3 = jnp.zeros((th, tw), jnp.float32)
-            v0s = jnp.zeros((1, tw), jnp.float32)
-            v1s = jnp.zeros((1, tw), jnp.float32)
-            for s in range(span):
-                t = bv - s
-                w0 = _l3(t)
-                w1 = _l3d(t)
-                sl = mid[s:s + th, :]
-                acc2 = acc2 + w0 * sl
-                acc3 = acc3 + w1 * sl
-                v0s = v0s + w0
-                v1s = v1s + w1
-            wsum2 = v0s + dv * v1s
-            safe2 = jnp.abs(wsum2) > 1e-3
-            warped = jnp.where(
-                safe2, (acc2 + dv * acc3) / jnp.where(safe2, wsum2, 1.0),
-                0.0)
-            rows_ref[f] = jnp.where(cover, warped, big)
+                # vertical: t(r, c, s) = [m10*x_out + m11*i*th + m12
+                # - vbase] + (m11 - 1)*r - s — per-column base
+                bv = (m10 * x_out[0:1, :]
+                      + m11 * (i.astype(jnp.float32) * th) + m12
+                      - vbase.astype(jnp.float32)
+                      + (m11 - 1.0) * ((th - 1) * 0.5))     # (1, tw)
+                acc2 = jnp.zeros((th, tw), jnp.float32)
+                v0s = jnp.zeros((1, tw), jnp.float32)
+                for s in range(span):
+                    w0 = _l3(bv - s)
+                    acc2 = acc2 + w0 * mid[s:s + th, :]
+                    v0s = v0s + w0
+                safe2 = jnp.abs(v0s) > 1e-3
+                warped = jnp.where(
+                    safe2, acc2 / jnp.where(safe2, v0s, 1.0), 0.0)
+                rows_ref[f] = jnp.where(cover_g, warped, big)
 
-        @pl.when(jnp.logical_not(is_trans) & jnp.logical_not(is_lr))
+            return
+
+        @pl.when(jnp.logical_not(is_trans))
         def _taps_general():
             # horizontal pass over the thp extracted rows (source rows
             # vbase + r'); output columns j*tw + c
@@ -633,7 +617,7 @@ def _make_kernel(n, th, tw, span, h_in, w_in, vb, hb, bh, bw, oy, ox,
                                     "combine", "dither_budget",
                                     "snap_tol", "frame_group",
                                     "block_div", "combine_chunk",
-                                    "interpret"))
+                                    "general_taps", "interpret"))
 def pallas_warp_combine(
     cal: jnp.ndarray,
     matrices: jnp.ndarray,
@@ -654,6 +638,7 @@ def pallas_warp_combine(
     frame_group: "int | None" = None,
     block_div: "Tuple[int, int] | None" = None,
     combine_chunk: "int | None" = None,
+    general_taps: str = "exact",
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Warp every frame by its matrix and sigma-clip-combine, fused —
@@ -685,13 +670,18 @@ def pallas_warp_combine(
     ``snap_tol`` (px, static): frames whose affine differs from a pure
     translation by less than this anywhere on the grid are snapped to
     that translation and take a ~10x cheaper scalar-weight tap path
-    (0 disables).  The same tolerance gates the LOW-RANK general tap
-    path: rotation-class frames whose per-axis weight drift across a
-    tile stays under it take a first-order-Taylor weight decomposition
-    (per-row + per-column vectors instead of full-grid degree-10
-    polynomials, ~3x fewer VPU ops) whose residual is quadratically
-    smaller than the snap path's own displacement bound; larger
-    rotations and scale changes keep the exact per-pixel path.  ``v_bounds`` (2,) traced (vlo, vhi) source-row
+    (0 disables).
+    ``general_taps`` (static): the non-snapped tap path.  'exact'
+    (default) evaluates per-pixel Lanczos weights — any affine.
+    'lowrank' drops the per-column weight drift (|gx-1|*(tw-1)/2 px,
+    and its vertical mirror) so weights collapse to per-row/per-column
+    vectors (~25% faster at stacking scale); the committed
+    displacement is bounded by ``snap_tol`` — the same error class and
+    bound as the snap path — and frames beyond the bound (rotations
+    over ~0.8 deg at tw=1024, or garbage matrices) are
+    coverage-EXCLUDED rather than approximated.  Use 'lowrank' for
+    dither+field-rotation stacking; keep 'exact' for arbitrary-angle
+    mosaics.  ``v_bounds`` (2,) traced (vlo, vhi) source-row
     coverage bounds, default (2, H-4) — a row-sharded caller narrows
     them to keep taps off the zero-filled halo beyond the global image.
     ``combine_chunk`` runs the sigma-clip combine over static
@@ -716,9 +706,16 @@ def pallas_warp_combine(
                                    frame_group=frame_group,
                                    block_div=block_div,
                                    combine_chunk=combine_chunk,
+                                   general_taps=general_taps,
                                    interpret=True)
     if combine not in ("average", "median", "sum", "mean"):
         raise ValueError(f"unknown combine '{combine}'")
+    if general_taps not in ("exact", "lowrank"):
+        raise ValueError(f"unknown general_taps '{general_taps}'")
+    if general_taps == "lowrank" and not snap_tol > 0.0:
+        raise ValueError("general_taps='lowrank' needs snap_tol > 0 "
+                         "(it bounds the committed drift; with 0 every "
+                         "non-translation frame would be excluded)")
     n, h0, w0 = cal.shape
     if tile is None:
         # auto tile: per-grid-step fixed costs (DMA descriptors +
@@ -927,7 +924,8 @@ def pallas_warp_combine(
     kernel = _make_kernel(n, th, tw, span, h0, w0, vb, hb, bh, bw, oy, ox,
                           float(sigma_lower), float(sigma_upper),
                           align, combine, has_masters, fgroup=fgroup,
-                          cchunk=combine_chunk, lr_tol=float(snap_tol))
+                          cchunk=combine_chunk, lr_tol=float(snap_tol),
+                          general_taps=general_taps)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(n_ti, n_tj, n // fgroup),

@@ -146,12 +146,23 @@ def _attempt(n_frames: int, size: int, repeats: int,
             # rotation displaces per-tile frame windows by up to
             # ~2*max_off across the frame set; the default 64 px
             # spread budget absorbs it.  span=12 (default) covers the
-            # intra-block source-row shear at <= 0.25 deg
+            # intra-block source-row shear at <= 0.25 deg.
+            # general_taps='lowrank' is the production stacking config
+            # for this workload class: its committed sampling drift at
+            # 0.25 deg and tw=1024 is 4.9e-3 px — 10x under the same
+            # kernel's accepted 0.05 px translation-snap bound — and
+            # the full Lanczos3 support still rides every tap
+            # (interpolation quality is unchanged; only the weights'
+            # per-column variation is dropped).  Rotations beyond the
+            # bound (~0.8 deg) would be coverage-excluded, not
+            # mis-stacked; arbitrary-angle mosaics use the default
+            # 'exact' path (ops/pallas_warp_combine.py docstring).
             cfg = PipelineConfig(max_stars=48, match_k=10,
                                  detect_mode="chunked", detect_chunk=2,
                                  detect_topk="tile", detect_fast=True,
                                  detect_bin_rows=True, centroid="kernel",
-                                 fused_apron=False)
+                                 fused_apron=False,
+                                 general_taps="lowrank")
         else:
             cfg = PipelineConfig(max_stars=48, match_k=10,
                                  detect_mode="chunked", detect_chunk=2,
@@ -205,7 +216,7 @@ def _attempt(n_frames: int, size: int, repeats: int,
             sus.append((time.perf_counter() - t0) / k)
         best = min(sus)
         gpix = n_frames * size * size / best / 1e9
-        mode = ("rotated 0.1-0.25deg, general tap path" if rotate
+        mode = ("rotated 0.1-0.25deg, low-rank general taps" if rotate
                 else "sub-px dithers, translation-snap path")
         result = {
             "metric": f"full-cal(bias+dark+flat)+register+stack GPix/s "

@@ -59,78 +59,71 @@ def test_fused_matches_unfused():
     got = np.asarray(pallas_warp_combine(cal, mats, tile=(32, 64),
                                          interpret=True))
     inner = ref != 0.0
-    err = np.abs(got[inner] - ref[inner])
-    # the default path runs translation-snap (frame 0) + low-rank
-    # Taylor weights (the stacking-scale rotations): agreement is at
-    # weight-space relative ~1e-6, plus rare sigma-clip tie flips where
-    # that perturbation moves a sample across the clip threshold
-    assert np.median(err / np.maximum(np.abs(ref[inner]), 1.0)) < 5e-6
-    tol = 0.5 + 1e-4 * np.abs(ref[inner])
-    assert (err > tol).mean() < 5e-4, float(err.max())
+    np.testing.assert_allclose(got[inner], ref[inner], rtol=1e-4, atol=0.5)
     # zero-coverage borders agree too
     np.testing.assert_array_equal(got == 0.0, ref == 0.0)
 
 
-def test_fused_exact_path_matches_unfused():
-    """snap_tol=0 disables both approximate tap paths (translation
-    snap AND low-rank Taylor weights): the exact per-pixel general path
-    must match the unfused reference to f32 reassociation noise."""
-    cal, mats = _make_inputs()
-    ref = _reference(cal, mats)
-    got = np.asarray(pallas_warp_combine(cal, mats, tile=(32, 64),
-                                         snap_tol=0.0, interpret=True))
-    inner = ref != 0.0
-    np.testing.assert_allclose(got[inner], ref[inner], rtol=1e-4, atol=0.5)
-    np.testing.assert_array_equal(got == 0.0, ref == 0.0)
-
-
 def test_lowrank_taps_match_exact_path():
-    """The low-rank (first-order Taylor) weight path engages for
-    stacking-scale rotations and must agree with the exact per-pixel
-    path at weight-space relative ~1e-6 — quadratically below the
-    0.05 px displacement bound that gates it."""
+    """general_taps='lowrank' (zeroth-order low-rank weights) for
+    stacking-scale rotations: the committed error is a sampling
+    displacement bounded by the per-tile drift |gx-1|*(tw-1)/2 —
+    2.5e-4 px at these rotations/tiles, 200x under the snap path's own
+    0.05 px bound — so values match the exact path to ~gradient *
+    drift, plus rare sigma-clip tie flips."""
     cal, mats = _make_inputs(n=5, h=96, w=256, seed=13)
     lr = np.asarray(pallas_warp_combine(cal, mats, tile=(32, 64),
+                                        general_taps="lowrank",
                                         interpret=True))
     ex = np.asarray(pallas_warp_combine(cal, mats, tile=(32, 64),
-                                        snap_tol=0.0, interpret=True))
+                                        interpret=True))
     np.testing.assert_array_equal(lr == 0.0, ex == 0.0)
     both = lr != 0.0
     rel = np.abs(lr[both] - ex[both]) / np.maximum(np.abs(ex[both]), 1.0)
-    assert np.median(rel) < 2e-6
-    # rare sigma-clip tie flips only
-    assert (rel > 1e-4).mean() < 5e-4
+    assert np.median(rel) < 1e-5
+    # worst case ~ drift * max gradient; tie flips stay rare
+    assert (rel > 2e-3).mean() < 5e-4
 
 
 def test_lowrank_gate_excludes_large_rotations():
-    """Rotations whose weight drift across a tile exceeds the snap
-    tolerance must NOT take the low-rank path: the kernel's output with
-    the default tolerance is identical to the exact path's."""
+    """In lowrank mode, frames whose weight drift exceeds the snap
+    tolerance are coverage-EXCLUDED (the dither_budget/base_ok
+    graceful-degradation contract), never resampled approximately:
+    the stack must equal the unfused reference over the remaining
+    frames."""
     rng = np.random.default_rng(55)
     h, w = 96, 256
     base = np.asarray(synth.make_rgb_scene((h, w), seed=55,
                                            peak=5000)[..., 0], np.float32)
     cal = np.stack([base + rng.normal(0, 3, (h, w)).astype(np.float32)
-                    for _ in range(3)])
+                    for _ in range(4)])
+    mats = [[[1.0, 0.0, 0.0], [0.0, 1.0, 0.0]],
+            [[1.0, 0.0, 1.3], [0.0, 1.0, -0.7]],
+            [[1.0, 0.0, -2.1], [0.0, 1.0, 0.4]]]
     # 4.6 deg: |1/cos(t) - 1| * (tw-1)/2 = 0.1 px > 0.05 at tw=64
-    mats = [[[1.0, 0.0, 0.0], [0.0, 1.0, 0.0]]]
-    for f in (1, 2):
-        theta = 0.08 * (1 if f == 1 else -1)
-        c, s = np.cos(theta), np.sin(theta)
-        mats.append([[c, -s, 2.0], [s, c, -1.0]])
+    theta = 0.08
+    c, s = np.cos(theta), np.sin(theta)
+    mats.append([[c, -s, 2.0], [s, c, -1.0]])
     cal_j = jnp.asarray(cal)
     mats_j = jnp.asarray(np.asarray(mats, np.float32))
     got = np.asarray(pallas_warp_combine(cal_j, mats_j, tile=(32, 64),
+                                         general_taps="lowrank",
                                          interpret=True))
-    # identity frame snaps either way; force it above-tol too by
-    # comparing against snap disabled on the rotated frames only is
-    # impossible per-frame, so compare full outputs: rotated frames
-    # must have taken the exact path, making any difference purely the
-    # identity frame's snap-vs-general delta (<= 1e-4 relative)
-    ex = np.asarray(pallas_warp_combine(cal_j, mats_j, tile=(32, 64),
-                                        snap_tol=0.0, interpret=True))
-    both = (got != 0.0) & (ex != 0.0)
-    np.testing.assert_allclose(got[both], ex[both], rtol=1e-4, atol=0.05)
+    ref = _reference(cal_j[:3], mats_j[:3])
+    inner = ref != 0.0
+    err = np.abs(got[inner] - ref[inner])
+    # snap-vs-exact weight noise plus rare sigma-clip tie flips — the
+    # excluded frame must not pull the stack anywhere
+    tol = 0.5 + 1e-4 * np.abs(ref[inner])
+    assert (err > tol).mean() < 5e-4, float(err.max())
+    assert np.median(err) < 1e-3
+
+
+def test_lowrank_requires_snap_tol():
+    cal, mats = _make_inputs(n=2)
+    with pytest.raises(ValueError):
+        pallas_warp_combine(cal, mats, tile=(32, 64), snap_tol=0.0,
+                            general_taps="lowrank", interpret=True)
 
 
 @pytest.mark.parametrize("method", ["median", "sum"])
@@ -424,10 +417,7 @@ def test_fused_matches_unfused_random_transforms():
                                              interpret=True))
         inner = ref != 0.0
         err = np.abs(got[inner] - ref[inner])
-        # median at the low-rank path's weight-space noise (~1e-6
-        # relative; these scenes sit at a few thousand ADU)
-        assert np.median(err / np.maximum(np.abs(ref[inner]), 1.0)) \
-            < 5e-6, trial
+        assert np.median(err) < 1e-3, trial
         # tolerate rare sigma-clip tie flips, nothing else
         tol = 0.5 + 1e-4 * np.abs(ref[inner])
         assert (err > tol).mean() < 1e-4, (trial, float(err.max()))
