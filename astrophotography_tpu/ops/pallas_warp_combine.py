@@ -434,9 +434,12 @@ def _make_kernel(n, th, tw, span, h_in, w_in, vb, hb, bh, bw, oy, ox,
                     w0 = _l3(bu - s)
                     acc0 = acc0 + w0 * alig[:, s:s + tw]
                     w0s = w0s + w0
-                safe = jnp.abs(w0s) > 1e-3
-                mid = jnp.where(
-                    safe, acc0 / jnp.where(safe, w0s, 1.0), 0.0)
+                # rank-1 normalization: the weight sum lives on a
+                # (thp, 1) vector, so reciprocate THERE and broadcast a
+                # multiply — a full-grid divide (and its two selects)
+                # would pay the VPU's worst op on every pixel
+                inv0 = jnp.where(jnp.abs(w0s) > 1e-3, 1.0 / w0s, 0.0)
+                mid = acc0 * inv0
 
                 # vertical: t(r, c, s) = [m10*x_out + m11*i*th + m12
                 # - vbase] + (m11 - 1)*r - s — per-column base
@@ -450,9 +453,8 @@ def _make_kernel(n, th, tw, span, h_in, w_in, vb, hb, bh, bw, oy, ox,
                     w0 = _l3(bv - s)
                     acc2 = acc2 + w0 * mid[s:s + th, :]
                     v0s = v0s + w0
-                safe2 = jnp.abs(v0s) > 1e-3
-                warped = jnp.where(
-                    safe2, acc2 / jnp.where(safe2, v0s, 1.0), 0.0)
+                inv2 = jnp.where(jnp.abs(v0s) > 1e-3, 1.0 / v0s, 0.0)
+                warped = acc2 * inv2
                 rows_ref[f] = jnp.where(cover_g, warped, big)
 
             return
