@@ -143,10 +143,18 @@ def _attempt(n_frames: int, size: int, repeats: int,
         # set), apron-free fused warp+combine, tile-mode peak ranking —
         # the only configuration that fits 100x16-Mpix on one chip
         if rotate:
-            # rotation displaces per-tile frame windows by up to
-            # ~2*max_off across the frame set; the default 64 px
-            # spread budget absorbs it.  span=12 (default) covers the
-            # intra-block source-row shear at <= 0.25 deg.
+            # rotation displaces per-tile frame windows; the per-axis
+            # spread across the frame set is bounded by
+            # 2*(sin(0.25 deg)*(size/2) + 4) ~ 25.9 px at 4k (signed
+            # rotations up to 0.25 deg about the center plus +-4 px
+            # dithers), so dither_budget=32 contains every frame with
+            # ~6 px margin — verified full-depth by the ramp probe
+            # (tools/rotprobe.py --ramp: interior max|dev| 1e-4).
+            # Shrinking the budget from the safe default 64 cuts the
+            # shared window from 8 to 6 delivery-block rows (25% less
+            # window DMA): kernel-only 8.56 GPix/s vs ~6.9 at 64.
+            # span=12 (default) covers the intra-block source-row
+            # shear at <= 0.25 deg.
             # general_taps='lowrank' is the production stacking config
             # for this workload class: its committed sampling drift at
             # 0.25 deg and tw=1024 is 4.9e-3 px — 10x under the same
@@ -161,7 +169,7 @@ def _attempt(n_frames: int, size: int, repeats: int,
                                  detect_mode="chunked", detect_chunk=2,
                                  detect_topk="tile", detect_fast=True,
                                  detect_bin_rows=True, centroid="kernel",
-                                 fused_apron=False,
+                                 fused_apron=False, dither_budget=32,
                                  general_taps="lowrank")
         else:
             cfg = PipelineConfig(max_stars=48, match_k=10,

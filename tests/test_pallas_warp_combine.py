@@ -304,6 +304,39 @@ def test_dither_budget_absorbs_full_spread_worst_case_median():
     np.testing.assert_array_equal(got == 0.0, ref == 0.0)
 
 
+def test_tight_budget_contains_rotation_spread():
+    """The bench rotation config class: general_taps='lowrank' with a
+    dither_budget sized to the ROTATION-induced window spread
+    (2*(sin(theta_max)*(size/2) + |dither|), bench.py rotation line).
+    Constant frames alternating 800/900 stack to exactly 850 at every
+    full-depth pixel, so a budget-excluded frame is visible as a
+    ~±8 ADU shift.  Angles are signed with the median base at one END
+    of the spread — the documented worst case for the median-centered
+    window (max |base - median| = spread, needing a full budget of
+    margin per side)."""
+    n, h, w = 6, 192, 192
+    cal = jnp.asarray(np.stack(
+        [np.full((h, w), 800.0 + 100.0 * (f % 2), np.float32)
+         for f in range(n)]))
+    cx = cy = (w - 1) / 2.0
+    # spread = 2*(sin(0.036)*96 + 0.5) = 7.9 px, budget 8: contained
+    # with ~0.1 px margin; 2 positive vs 4 negative angles pin the
+    # median at the negative end
+    thetas = [0.036, 0.036, -0.036, -0.036, -0.036, -0.036]
+    dith = [0.5, -0.5, 0.3, -0.3, 0.1, -0.1]
+    mats = []
+    for th_f, dx in zip(thetas, dith):
+        c, s = np.cos(th_f), np.sin(th_f)
+        mats.append([[c, -s, cx - c * cx + s * cy + dx],
+                     [s, c, cy - s * cx - c * cy + dx]])
+    # drift gate headroom: |cos(0.036)-1|*(64-1)/2 = 0.02 px < 0.05
+    got = np.asarray(pallas_warp_combine(
+        cal, jnp.asarray(np.asarray(mats, np.float32)), tile=(32, 64),
+        dither_budget=8, general_taps="lowrank", interpret=True))
+    interior = got[24:-24, 24:-24]
+    np.testing.assert_allclose(interior, 850.0, atol=0.01)
+
+
 def test_garbage_matrix_does_not_poison_good_frames():
     """A failed registration (wild matrix) must only lose ITS frame:
     the shared per-tile window centers on the median frame base, so the

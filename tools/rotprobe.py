@@ -42,6 +42,17 @@ def main() -> int:
                    help="non-snapped tap path variant")
     p.add_argument("--rot-deg", type=float, default=0.25,
                    help="max |rotation| (uniform 0.4x..1x of this)")
+    p.add_argument("--block-div", default=None,
+                   help="delivery-block subdivision 'ky,kx' "
+                        "(default: kernel auto — (2,2) on wide tiles)")
+    p.add_argument("--ramp", action="store_true",
+                   help="full-depth verification instead of timing: "
+                        "constant frames alternating 800/900 ADU (after "
+                        "calibration) must stack to exactly 850 at every "
+                        "interior pixel; a coverage- or budget-excluded "
+                        "frame shifts its tile by ~0.5 ADU.  Same static "
+                        "config as the timing run, so the compile cache "
+                        "is reused")
     args = p.parse_args()
 
     from astrophotography_tpu.utils.compile_cache import enable_compile_cache
@@ -55,7 +66,17 @@ def main() -> int:
 
     n, size = args.frames, args.size
     rng = np.random.default_rng(0)
-    frames = rng.integers(500, 60000, (n, size, size), dtype=np.uint16)
+    if args.ramp:
+        # cal = raw*A - B - r*C = raw - 320 with these masters; raw
+        # 1120/1220 -> calibrated 800/900 alternating by frame, so the
+        # sigma-clipped mean at any FULL-DEPTH pixel is exactly
+        # (800*ceil(n/2) + 900*(n//2))/n and dropping any single frame
+        # moves it by ~0.5 ADU — a per-pixel depth detector
+        frames = np.empty((n, size, size), np.uint16)
+        for f in range(n):
+            frames[f] = 1120 + 100 * (f % 2)
+    else:
+        frames = rng.integers(500, 60000, (n, size, size), dtype=np.uint16)
     ones = np.ones((size, size), np.float32)
     masters = np.stack([ones, 300.0 * ones, 40.0 * ones])
     cx = cy = (size - 1) / 2.0
@@ -73,11 +94,14 @@ def main() -> int:
     mats_d = jnp.asarray(np.asarray(mats, np.float32))
     ratios_d = jnp.full((n,), 0.5, jnp.float32)
 
+    bdiv = (tuple(int(x) for x in args.block_div.split(","))
+            if args.block_div else None)
+
     def run():
         out = pallas_warp_combine(
             frames_d, mats_d, masters=masters_d, exp_ratios=ratios_d,
             span=args.span, apron=False, snap_tol=args.snap_tol,
-            dither_budget=args.dither_budget,
+            dither_budget=args.dither_budget, block_div=bdiv,
             general_taps=args.general)
         return out
 
@@ -86,6 +110,20 @@ def main() -> int:
     chk = float(jnp.sum(out))
     print(f"# warmup (compile or cache load): "
           f"{time.perf_counter() - t0:.1f} s, checksum {chk:.6g}")
+    if args.ramp:
+        expect = (800.0 * ((n + 1) // 2) + 900.0 * (n // 2)) / n
+        # 32-px trim clears the legitimate rotation/v_bounds coverage
+        # ring; everything inside must be full-depth
+        interior = np.asarray(out)[32:-32, 32:-32]
+        dev = np.abs(interior - expect)
+        print(f"ramp full-depth: expect {expect:.3f}, interior max|dev| "
+              f"{dev.max():.4f} at {np.unravel_index(dev.argmax(), dev.shape)}"
+              f", mean {interior.mean():.4f}  "
+              f"(budget={args.dither_budget} general={args.general})")
+        ok = dev.max() < 0.1
+        print("ramp full-depth:", "PASS" if ok else
+              "FAIL — some frame was coverage/budget-excluded")
+        return 0 if ok else 1
     k = 3
     best = None
     for _ in range(args.repeats):
@@ -98,7 +136,8 @@ def main() -> int:
     gpix = n * size * size / best / 1e9
     print(f"kernel-only sustained: {best * 1000:.1f} ms  "
           f"{gpix:.3f} GPix/s  (snap_tol={args.snap_tol} span={args.span} "
-          f"budget={args.dither_budget} general={args.general})")
+          f"budget={args.dither_budget} block_div={bdiv} "
+          f"general={args.general})")
     return 0
 
 
