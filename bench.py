@@ -183,7 +183,17 @@ def _attempt(n_frames: int, size: int, repeats: int,
                                  # declaring it shrinks the source
                                  # window one delivery block vs the
                                  # safe default
-                                 dither_budget=8)
+                                 dither_budget=8,
+                                 # every frame here translation-snaps,
+                                 # so the general tap body is DEAD
+                                 # code — but Mosaic allocates
+                                 # registers over the union of all
+                                 # branch bodies, and the small
+                                 # low-rank body is 5% faster than the
+                                 # exact one even unexecuted (A/B at
+                                 # identical checksums: 129.6 vs
+                                 # 136.9 ms kernel-only)
+                                 general_taps="lowrank")
         frames_d = jnp.asarray(frames)
         bias_d = jnp.asarray(bias)
         dark_d = jnp.asarray(dark)
