@@ -754,7 +754,11 @@ def pallas_warp_combine(
     # (64, 1024)+cchunk256 production tile the savings dominate:
     # (1, 2) 196.9 -> 179.8 ms, (2, 2) -> 175.3 ms (the shared window
     # overreads in BOTH axes once the tile is wide; quartering its
-    # bytes costs three extra DMAs per grid step).  (1, 4) ties (1, 2)
+    # bytes costs three extra DMAs per grid step).  On the ROTATION
+    # workload (lowrank taps, dither_budget=32) the same tradeoff
+    # holds: (2, 4) shrinks window bytes 25% more yet regresses 196.0
+    # -> 206.5 ms (36 vs 24 block positions per grid step) — (2, 2)
+    # is the production choice there too.  (1, 4) ties (1, 2)
     # at 180.6 ms for more descriptors and compile time; fgroup=4,
     # (80, 1024) and (48, 1024) all regress.  Auto: quarter the
     # delivery blocks on wide tiles.
