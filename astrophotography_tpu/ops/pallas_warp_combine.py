@@ -309,6 +309,24 @@ def _make_kernel(n, th, tw, span, h_in, w_in, vb, hb, bh, bw, oy, ox,
         cover = ((sx >= 2.0) & (sx <= w_in - 4.0)
                  & (v >= vlo) & (v <= vhi) & base_ok)
 
+        # static-span containment gates (general tap bodies only; the
+        # snapped path's tap centers are the constants [3, 4)): the tap
+        # loops reach s in [0, span) past each floored base, the base
+        # anchoring puts the minimum tap center in [3, 4), and Lanczos3
+        # support is +-3 — so the SHEAR that moves the needed support
+        # across the tile must satisfy shear <= span - 7.  Frames
+        # beyond (rotations over ~0.28 deg at (64, 1024) tiles and
+        # span 12) are coverage-EXCLUDED per the kernel's
+        # graceful-degradation contract instead of silently resampled
+        # from PARTIAL tap support (weight-sum normalization over a
+        # truncated kernel support biases the sample toward the
+        # available side).  eps covers f32 rounding of the base floors
+        # at 4k coordinate scale.
+        sp_eps = 0.01
+        sv_sh = jnp.abs(m10) * (tw - 1.0) + jnp.abs(m11 - 1.0) * (th - 1.0)
+        su_ex = jnp.abs(gy) * (thp - 1.0) + jnp.abs(gx - 1.0) * (tw - 1.0)
+        span_ok_v = sv_sh <= span - 7.0 - sp_eps
+
         @pl.when(is_trans)
         def _taps_translation():
             # pure-translation frames (snapped outside when the affine
@@ -415,9 +433,24 @@ def _make_kernel(n, th, tw, span, h_in, w_in, vb, hb, bh, bw, oy, ox,
             # carries TWO tap bodies: a third live branch measurably
             # taxes Mosaic's register allocation (~25% on the
             # executed path at 100 x 4096^2).
+            # static tap restriction: the per-row base bu sits in
+            # [3 - drift, 4 + su_lr), so tap 0 carries at most
+            # L3(2.95) ~ 3e-4 of weight mass (drift-class, absorbed by
+            # normalization) and taps >= 7 + su_lr carry none.  With
+            # su_lr gated <= t1hi - 7 the static range [1, t1hi)
+            # contains the support: 8 taps instead of span=12 on the
+            # (thp, tw) pass-1 grid (at the 0.8 deg drift-gate
+            # boundary su_lr = 1.11 at thp=80, inside the t1hi=9
+            # budget).  Pass 2 keeps [1, span): its per-column base bv
+            # has the same lower anchoring, and the upper side is the
+            # span_ok_v vertical-shear gate shared with the exact body.
+            t1hi = min(span, 9)
+            su_lr = (jnp.abs(gy) * (thp - 1.0)
+                     + jnp.abs(gx - 1.0) * ((tw - 1.0) * 0.5))
             in_gate = ((jnp.abs(gx - 1.0) * ((tw - 1) * 0.5) < lr_tol)
                        & (jnp.abs(m11 - 1.0) * ((th - 1) * 0.5)
-                          < lr_tol))
+                          < lr_tol)
+                       & (su_lr <= t1hi - 7.0 - sp_eps) & span_ok_v)
             cover_g = cover & in_gate
 
             @pl.when(jnp.logical_not(is_trans))
@@ -430,7 +463,7 @@ def _make_kernel(n, th, tw, span, h_in, w_in, vb, hb, bh, bw, oy, ox,
                       + (gx - 1.0) * ((tw - 1) * 0.5))      # (thp, 1)
                 acc0 = jnp.zeros((thp, tw), jnp.float32)
                 w0s = jnp.zeros((thp, 1), jnp.float32)
-                for s in range(span):
+                for s in range(1, t1hi):
                     w0 = _l3(bu - s)
                     acc0 = acc0 + w0 * alig[:, s:s + tw]
                     w0s = w0s + w0
@@ -449,7 +482,7 @@ def _make_kernel(n, th, tw, span, h_in, w_in, vb, hb, bh, bw, oy, ox,
                       + (m11 - 1.0) * ((th - 1) * 0.5))     # (1, tw)
                 acc2 = jnp.zeros((th, tw), jnp.float32)
                 v0s = jnp.zeros((1, tw), jnp.float32)
-                for s in range(span):
+                for s in range(1, span):
                     w0 = _l3(bv - s)
                     acc2 = acc2 + w0 * mid[s:s + th, :]
                     v0s = v0s + w0
@@ -491,7 +524,9 @@ def _make_kernel(n, th, tw, span, h_in, w_in, vb, hb, bh, bw, oy, ox,
             safe2 = jnp.abs(wsum2) > 1e-3
             warped = jnp.where(
                 safe2, acc2 / jnp.where(safe2, wsum2, 1.0), 0.0)
-            rows_ref[f] = jnp.where(cover, warped, big)
+            cover_x = (cover & span_ok_v
+                       & (su_ex <= span - 7.0 - sp_eps))
+            rows_ref[f] = jnp.where(cover_x, warped, big)
 
     def _run_combine(rows_ref, out_ref, ms_ref, grp, big):
         @pl.when(grp == n // fgroup - 1)
@@ -650,7 +685,13 @@ def pallas_warp_combine(
     ``cal`` (N, H, W) float32 calibrated frames, or raw uint16/float
     frames when ``masters`` is given; ``matrices`` (N, 2, 3)
     output->source affine maps with |translation| < one tile and
-    stacking-scale rotations; ``masters`` (3, H, W): A=1/flat,
+    stacking-scale rotations — the non-snapped tap paths ENFORCE span
+    containment (tile shear |m10|*(tw-1) + |m11-1|*(th-1) and its
+    horizontal mirror must stay <= span - 7, ~0.28 deg at (64, 1024)
+    tiles and span 12): frames beyond are coverage-excluded per tile,
+    never resampled from partial Lanczos support (use ops/warp.py's
+    unfused resampler for arbitrary-angle mosaics);
+    ``masters`` (3, H, W): A=1/flat,
     B=bias/flat, C=dark/flat so cal = raw*A - B - exp_ratio*C;
     ``exp_ratios`` (N,) light/dark exposure ratios (default 1);
     ``flux_scales`` (N,) per-frame multipliers applied to the

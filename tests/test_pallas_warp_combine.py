@@ -304,6 +304,39 @@ def test_dither_budget_absorbs_full_spread_worst_case_median():
     np.testing.assert_array_equal(got == 0.0, ref == 0.0)
 
 
+def test_span_containment_gate_excludes_rather_than_degrades():
+    """Even on the EXACT tap path, a frame whose tile shear
+    |m10|*(tw-1) + |m11-1|*(th-1) exceeds span - 7 cannot fit the full
+    Lanczos support in the static tap range; such frames must be
+    coverage-EXCLUDED (graceful-degradation contract), not resampled
+    from partial support (normalizing over a truncated kernel biases
+    the sample toward the available taps)."""
+    rng = np.random.default_rng(77)
+    h, w = 96, 256
+    base = np.asarray(synth.make_rgb_scene((h, w), seed=77,
+                                           peak=5000)[..., 0], np.float32)
+    cal = np.stack([base + rng.normal(0, 3, (h, w)).astype(np.float32)
+                    for _ in range(4)])
+    mats = [[[1.0, 0.0, 0.0], [0.0, 1.0, 0.0]],
+            [[1.0, 0.0, 1.1], [0.0, 1.0, -0.4]],
+            [[1.0, 0.0, -0.8], [0.0, 1.0, 0.9]]]
+    # theta = 0.1 rad (5.7 deg): vertical shear 0.0998*(64-1) = 6.3 px
+    # > span-7 = 5 at tile (32, 64)/span 12 — beyond containment
+    theta = 0.1
+    c, s = np.cos(theta), np.sin(theta)
+    mats.append([[c, -s, 1.0], [s, c, 0.5]])
+    cal_j = jnp.asarray(cal)
+    mats_j = jnp.asarray(np.asarray(mats, np.float32))
+    got = np.asarray(pallas_warp_combine(cal_j, mats_j, tile=(32, 64),
+                                         interpret=True))
+    ref = _reference(cal_j[:3], mats_j[:3])
+    inner = ref != 0.0
+    err = np.abs(got[inner] - ref[inner])
+    tol = 0.5 + 1e-4 * np.abs(ref[inner])
+    assert (err > tol).mean() < 5e-4, float(err.max())
+    assert np.median(err) < 1e-3
+
+
 def test_tight_budget_contains_rotation_spread():
     """The bench rotation config class: general_taps='lowrank' with a
     dither_budget sized to the ROTATION-induced window spread
